@@ -1,0 +1,147 @@
+"""Euclidean distance transform + trimap "click" features, TPU-native.
+
+The reference computes its 6 extra trimap channels (utils/utils.py:25-39) by
+shipping every predicted trimap to the CPU for cv2.distanceTransform — a
+host sync per frame inside the hot loop.  Here the transform runs on-device:
+
+  * `edt_sq_jfa`   — 1+JFA jump-flooding: O(log n) passes of static-offset
+    shifts, fully jittable, VPU-friendly.  Exact for all but a vanishing
+    fraction of pixels (error <= a few squared pixels at worst), far inside
+    the tolerance of exp(-d^2 / 2 sigma^2) features with sigma >= 6.4 px.
+  * `edt_sq_exact` — separable min-plus (1D row scan + column lower
+    envelope via broadcast).  Exact, O(H^2 W); used for small inputs and as
+    the in-framework oracle.
+
+`trimap_clicks` reproduces utils/utils.py:25-39: for each of the bg/fg
+binary masks, d = distance to the nearest mask pixel, features
+exp(-d^2 / (2 (s*320)^2)) for s in (0.02, 0.08, 0.16).  A mask with no
+on-pixels yields all-zero clicks (the reference's `torch.sum(tk != 0)`
+guard), which falls out naturally from d^2 = BIG for seedless images.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_BIG = jnp.float32(1e12)
+_SIGMAS = (0.02 * 320.0, 0.08 * 320.0, 0.16 * 320.0)
+
+
+def _shift2d(x: jnp.ndarray, dy: int, dx: int, fill):
+    """Shift [..., H, W] by (dy, dx), filling vacated cells with `fill`."""
+    h, w = x.shape[-2], x.shape[-1]
+    pad = [(0, 0)] * (x.ndim - 2) + [(max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0))]
+    y = jnp.pad(x, pad, constant_values=fill)
+    sl = [slice(None)] * (x.ndim - 2)
+    sl += [slice(max(-dy, 0), max(-dy, 0) + h), slice(max(-dx, 0), max(-dx, 0) + w)]
+    return y[tuple(sl)]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def edt_sq_jfa(seeds: jnp.ndarray) -> jnp.ndarray:
+    """Squared EDT to the nearest True pixel.  seeds: [H, W] bool -> f32."""
+    h, w = seeds.shape
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    sy = jnp.where(seeds, yy, -1)
+    sx = jnp.where(seeds, xx, -1)
+
+    def dist2(cy, cx):
+        d = (yy - cy).astype(jnp.float32) ** 2 + (xx - cx).astype(jnp.float32) ** 2
+        return jnp.where(cy >= 0, d, _BIG)
+
+    steps = [1]
+    k = 1 << max(int(np.ceil(np.log2(max(h, w, 2)))) - 1, 0)
+    while k >= 1:
+        steps.append(k)
+        k //= 2
+    steps.append(1)  # final clean-up pass
+
+    for k in steps:
+        best = dist2(sy, sx)
+        for dy in (-k, 0, k):
+            for dx in (-k, 0, k):
+                if dy == 0 and dx == 0:
+                    continue
+                cy = _shift2d(sy, dy, dx, -1)
+                cx = _shift2d(sx, dy, dx, -1)
+                d = dist2(cy, cx)
+                take = d < best
+                best = jnp.where(take, d, best)
+                sy = jnp.where(take, cy, sy)
+                sx = jnp.where(take, cx, sx)
+    return dist2(sy, sx)
+
+
+def edt_sq_exact(seeds: jnp.ndarray) -> jnp.ndarray:
+    """Exact squared EDT (separable min-plus).  seeds: [H, W] bool -> f32.
+
+    Pass 1: per-row 1-D pixel distance to the nearest seed in that row
+    (forward/backward scan).  Pass 2: D[y,x] = min_y' (G[y',x]^2 + (y-y')^2)
+    by broadcasting over y' (O(H^2 W) — use for H, W <= ~512 or testing).
+    """
+    h, w = seeds.shape
+    big = jnp.float32(1e6)  # 1-D distance cap; squared stays < _BIG
+
+    def row_scan(carry, s):
+        d = jnp.where(s, 0.0, carry + 1.0)
+        return d, d
+
+    s_t = seeds.T.astype(jnp.bool_)  # scan over W, vector over H
+    init = jnp.full((h,), big)
+    _, fwd = jax.lax.scan(row_scan, init, s_t)
+    _, bwd = jax.lax.scan(row_scan, init, s_t, reverse=True)
+    g = jnp.minimum(fwd, bwd).T  # [H, W] 1-D row distances
+    g2 = jnp.minimum(g * g, _BIG)
+
+    ys = jnp.arange(h, dtype=jnp.float32)
+    dy2 = (ys[:, None] - ys[None, :]) ** 2           # [H, H']
+    d = jnp.min(dy2[:, :, None] + g2[None, :, :], axis=1)
+    return jnp.minimum(d, _BIG)
+
+
+def edt_sq(seeds: jnp.ndarray, exact: bool = False) -> jnp.ndarray:
+    return edt_sq_exact(seeds) if exact else edt_sq_jfa(seeds)
+
+
+def trimap_clicks(trimap2: jnp.ndarray, exact: bool = False) -> jnp.ndarray:
+    """utils/utils.py:25-39 on NHWC.
+
+    trimap2: [B, H, W, 2] binary (bg mask, fg mask) -> clicks [B, H, W, 6]
+    ordered [bg_s1, bg_s2, bg_s3, fg_s1, fg_s2, fg_s3].
+    """
+    def one_image(tri):  # [H, W, 2]
+        feats = []
+        for k in range(2):
+            seeds = tri[..., k] > 0.5
+            d2 = edt_sq(seeds, exact=exact)
+            for sigma in _SIGMAS:
+                feats.append(jnp.exp(-d2 / (2.0 * sigma * sigma)))
+        return jnp.stack(feats, axis=-1)
+
+    return jax.vmap(one_image)(trimap2)
+
+
+def trimap_clicks_host(trimap2: np.ndarray) -> np.ndarray:
+    """cv2-exact host-side variant for the data pipeline / test oracle.
+
+    trimap2: [B, H, W, 2] -> [B, H, W, 6], same ordering as trimap_clicks.
+    """
+    import cv2
+
+    b, h, w, _ = trimap2.shape
+    out = np.zeros((b, h, w, 6), np.float32)
+    for i in range(b):
+        for k in range(2):
+            tk = trimap2[i, :, :, k]
+            if (tk != 0).sum() == 0:
+                continue
+            inv = ((1.0 - tk) * 255).astype(np.uint8)
+            d = cv2.distanceTransform(inv, cv2.DIST_L2, 0)
+            d2 = d.astype(np.float32) ** 2
+            for j, sigma in enumerate(_SIGMAS):
+                out[i, :, :, 3 * k + j] = np.exp(-d2 / (2.0 * sigma * sigma))
+    return out

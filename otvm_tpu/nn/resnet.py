@@ -1,0 +1,92 @@
+"""torchvision-style ResNet-50 trunk with frozen BatchNorm (STM encoders).
+
+The reference STM encoders take torchvision resnet50 layers conv1..layer3
+(models/trimap/STM.py:43-51, 79-87) and always run BN in eval mode
+(FREEZE_BN, train.py:310-327).  This is the same architecture expressed
+NHWC/linen with FrozenBatchNorm.  Param names mirror torchvision
+('conv1', 'bn1', 'layer1.0.conv1', ...) to keep the .pth converter a pure
+name-mapping exercise.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import Conv, FrozenBatchNorm
+from .ops import max_pool_3x3_s2
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        out_ch = self.planes * 4
+        identity = x
+        y = Conv(self.planes, 1, 1, 0, use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = FrozenBatchNorm(self.planes, name="bn1")(y)
+        y = nn.relu(y)
+        y = Conv(self.planes, 3, self.stride, 1, use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = FrozenBatchNorm(self.planes, name="bn2")(y)
+        y = nn.relu(y)
+        y = Conv(out_ch, 1, 1, 0, use_bias=False, dtype=self.dtype, name="conv3")(y)
+        y = FrozenBatchNorm(out_ch, name="bn3")(y)
+        if self.downsample:
+            identity = Conv(out_ch, 1, self.stride, 0, use_bias=False, dtype=self.dtype,
+                            name="downsample_conv")(x)
+            identity = FrozenBatchNorm(out_ch, name="downsample_bn")(identity)
+        return nn.relu(y + identity)
+
+
+class ResNetLayer(nn.Module):
+    planes: int
+    blocks: int
+    stride: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = Bottleneck(self.planes, self.stride, downsample=True, dtype=self.dtype, name="0")(x)
+        for i in range(1, self.blocks):
+            x = Bottleneck(self.planes, 1, dtype=self.dtype, name=str(i))(x)
+        return x
+
+
+class ResNet50Trunk(nn.Module):
+    """conv1..layer3 of ResNet-50: returns (r4, r3, r2, c1).
+
+    Strides: c1 = 1/2 (64ch), r2 = 1/4 (256ch), r3 = 1/8 (512ch),
+    r4 = 1/16 (1024ch) — the STM feature pyramid.
+
+    The stem conv is applied by the caller (STM sums extra-mask convs into it,
+    STM.py:63-67), so `stem()` and `stages()` are exposed separately.
+    """
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        self.conv1 = Conv(64, 7, 2, 3, use_bias=False, dtype=self.dtype, name="conv1")
+        self.bn1 = FrozenBatchNorm(64, name="bn1")
+        self.layer1 = ResNetLayer(64, 3, 1, dtype=self.dtype, name="layer1")
+        self.layer2 = ResNetLayer(128, 4, 2, dtype=self.dtype, name="layer2")
+        self.layer3 = ResNetLayer(256, 6, 2, dtype=self.dtype, name="layer3")
+
+    def stem_conv(self, x):
+        return self.conv1(x)
+
+    def stages(self, x):
+        """x: output of (stem conv + any extra convs), pre-BN."""
+        x = self.bn1(x)
+        c1 = nn.relu(x)                 # 1/2, 64
+        x = max_pool_3x3_s2(c1)         # 1/4, 64
+        r2 = self.layer1(x)             # 1/4, 256
+        r3 = self.layer2(r2)            # 1/8, 512
+        r4 = self.layer3(r3)            # 1/16, 1024
+        return r4, r3, r2, c1
+
+    def __call__(self, x):
+        return self.stages(self.stem_conv(x))
