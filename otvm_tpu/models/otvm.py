@@ -1,0 +1,271 @@
+"""Joint OTVM model: trimap propagation x alpha prediction, cross-feeding.
+
+Capability parity:
+  * `make_trimap_features`  == alpha FullModel.make_trimap
+    (models/alpha/model.py:40-53): 3-ch soft trimap -> 8-ch FBA input
+    (6 distance-transform "clicks" + soft bg/fg probabilities).
+  * `eval_frame_step`       == alpha EvalModel.forward streaming path
+    (models/alpha/model.py:391-512): segment -> FBA -> refine -> memorize,
+    with the reference memory policy (first/rolling/every-Nth, keep slot 0).
+    ONE jitted function per resolution bucket; flags are traced booleans.
+  * `joint_train_forward`   == alpha FullModel.forward
+    (models/alpha/model.py:189-312): S-frame temporal loop with alpha->trimap
+    memory cross-feeding, FBA loss stack + trimap CE.
+  * `trimap_train_forward`  == trimap FullModel._forward stage-1
+    (models/trimap/model.py:75-131), vmap-free batched rewrite.
+
+Design notes (TPU-first, deliberately different from the reference):
+  * all state is explicit: params dicts + MemoryBank pytree; no nn.Module
+    mutation, no growing tensors at eval (fixed-capacity bank + masks).
+  * the reference's CPU round-trip for distance transforms
+    (utils/utils.py:12-23) is an on-device JFA EDT (otvm_tpu.nn.edt).
+  * frames arrive RGB in [0,1] (the reference flips BGR and scales by 1/255
+    inside the model; our data layer does it on the host once).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.edt import trimap_clicks
+from ..train import losses as L
+from .fba import FBA
+from .memory import MemoryBank, init_bank, update_bank
+from .stm import STM, normalize_image
+
+
+def make_trimap_features(tri3: jnp.ndarray, exact_edt: bool = False
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """tri3 [B,H,W,3] soft trimap -> (feats8 [B,H,W,8], trimask [B,H,W,1]).
+
+    feats8 = [bg clicks x3, fg clicks x3, soft bg prob, soft fg prob];
+    trimask = hard unknown region (argmax == 1)."""
+    am = jnp.argmax(tri3, axis=-1)
+    t2b = (am == 0).astype(jnp.float32)
+    t2f = (am == 2).astype(jnp.float32)
+    clicks = trimap_clicks(jnp.stack([t2b, t2f], axis=-1), exact=exact_edt)
+    soft = jnp.stack([tri3[..., 0], tri3[..., 2]], axis=-1)
+    feats = jnp.concatenate([clicks, soft], axis=-1)
+    trimask = (am == 1).astype(jnp.float32)[..., None]
+    return feats, trimask
+
+
+def _models(stage: int):
+    refinement = stage > 2
+    stm = STM(hdim=16 if stage > 2 else -1)
+    fba = FBA(refinement=refinement)
+    return stm, fba, refinement
+
+
+# ---------------------------------------------------------------------------
+# streaming eval (serve path)
+# ---------------------------------------------------------------------------
+
+class EvalOutput(NamedTuple):
+    bank: MemoryBank
+    alpha: jnp.ndarray     # [B, H, W, 1]
+    trimap: jnp.ndarray    # [B, H, W, 3]
+
+
+@functools.partial(jax.jit, static_argnames=("stage", "max_memory_num", "exact_edt"))
+def eval_frame_step(stm_vars, fba_vars, bank: MemoryBank,
+                    frame01: jnp.ndarray, first_trimap3: jnp.ndarray,
+                    first_frame: jnp.ndarray, memorize: jnp.ndarray,
+                    last_frame: jnp.ndarray,
+                    stage: int = 4, max_memory_num: int = 5,
+                    exact_edt: bool = False) -> EvalOutput:
+    """One frame of streaming joint inference.
+
+    frame01 [B,H,W,3] in [0,1], H,W multiples of 32 (caller pads — the
+    reference pads to /32 at models/alpha/model.py:408-410).
+    first_trimap3 [B,H,W,3]: GT trimap, consumed only when first_frame.
+    Flags are traced; shapes compile once per resolution bucket.
+    """
+    stm, fba, refinement = _models(stage)
+
+    def use_gt(_):
+        return first_trimap3
+
+    def do_segment(_):
+        logits = stm.apply(stm_vars, frame01, bank.keys, bank.values,
+                           bank.slot_mask, method=STM.segment)
+        return jax.nn.softmax(logits, axis=-1)
+
+    trimap3 = jax.lax.cond(first_frame, use_gt, do_segment, None)
+
+    feats8, _ = make_trimap_features(trimap3, exact_edt)
+    x11 = jnp.concatenate([normalize_image(frame01), feats8], axis=-1)
+    out7, hid, rout7, rtri = fba.apply(fba_vars, x11, frame01, feats8[..., -2:])
+
+    alpha = (rout7 if refinement else out7)[..., 0:1]
+    # the refinement's re-predicted trimap replaces the propagated one for
+    # BOTH output and memorization — including on the first frame
+    # (models/alpha/model.py:459-460)
+    out_trimap = jax.nn.softmax(rtri, axis=-1) if refinement else trimap3
+
+    def do_memorize(b: MemoryBank) -> MemoryBank:
+        kwargs = {}
+        if stm.hdim > 0:
+            kwargs = dict(alpha=alpha[..., 0], hidden=hid)
+        k, v = stm.apply(stm_vars, frame01, out_trimap[..., 1], out_trimap[..., 2],
+                         method=STM.memorize, **kwargs)
+        return update_bank(b, k, v, first_frame, memorize, max_memory_num)
+
+    bank = jax.lax.cond(last_frame, lambda b: b, do_memorize, bank)
+    return EvalOutput(bank, alpha, out_trimap)
+
+
+def make_eval_bank(batch: int, height: int, width: int, max_memory_num: int = 5
+                   ) -> MemoryBank:
+    """Bank sized for /16 feature maps of a (padded) H x W frame."""
+    assert height % 16 == 0 and width % 16 == 0
+    return init_bank(batch, (height // 16) * (width // 16), max_memory_num)
+
+
+# ---------------------------------------------------------------------------
+# joint training forward (stages 1-4 of train.py)
+# ---------------------------------------------------------------------------
+
+def joint_train_forward(stm_vars, fba_vars, batch: Dict[str, jnp.ndarray],
+                        stage: int, exact_edt: bool = False):
+    """Training forward + loss, == alpha FullModel.forward.
+
+    batch (all NHWC, S = frames per clip):
+      fg, bg: [B,S,H,W,3] RGB in [0,1]
+      alpha:  [B,S,H,W,1]
+      tri:    [B,S,H,W,3] one-hot GT trimap (data-side synthesis)
+    Returns (total_loss, aux dict with sub-losses and visuals).
+    Loss composition per train.py:355-366: L_alpha_comp + L_lap + L_grad
+    (+ L_tri when stage > 1).
+    """
+    stm, fba, refinement = _models(stage)
+    use_trimap_net = stage > 1
+
+    fg, bg, gt_alpha, tri = batch["fg"], batch["bg"], batch["alpha"], batch["tri"]
+    B, S = fg.shape[:2]
+    img = fg * gt_alpha + bg * (1.0 - gt_alpha)
+
+    # trimask for the loss comes from the GT trimap (preprocess path,
+    # models/alpha/model.py:55-64); clicks are not needed for the GT.
+    gt_trimask = (jnp.argmax(tri, axis=-1) == 1).astype(jnp.float32)[..., None]
+
+    preds_trimap = [None] * S
+    preds_trimap_refine = [None] * S
+    logit_trimap = [None] * (S - 1)
+    logit_trimap_refine = [None] * S
+    outs, routs, hids = [None] * S, [None] * S, [None] * S
+
+    preds_trimap[0] = tri[:, 0]
+    preds_trimap_refine[0] = tri[:, 0]
+    mem_k, mem_v = [], []
+
+    for t in range(S):
+        feats8, _ = make_trimap_features(preds_trimap[t], exact_edt)
+        x11 = jnp.concatenate([normalize_image(img[:, t]), feats8], axis=-1)
+        out7, hid, rout7, rtri = fba.apply(fba_vars, x11, img[:, t], feats8[..., -2:])
+        outs[t], routs[t], hids[t] = out7, rout7, hid
+        if refinement:
+            logit_trimap_refine[t] = rtri
+            if t > 0:
+                preds_trimap_refine[t] = jax.nn.softmax(rtri, axis=-1)
+        if t < S - 1:
+            if not use_trimap_net:
+                preds_trimap[t + 1] = tri[:, t + 1]
+            else:
+                if refinement:
+                    input_alpha = rout7[..., 0:1]
+                    input_trimap = preds_trimap_refine[t]
+                else:
+                    input_alpha = out7[..., 0:1]
+                    input_trimap = preds_trimap[t]
+                kwargs = {}
+                if stm.hdim > 0:
+                    kwargs = dict(alpha=input_alpha[..., 0], hidden=hid)
+                k, v = stm.apply(stm_vars, img[:, t], input_trimap[..., 1],
+                                 input_trimap[..., 2], method=STM.memorize, **kwargs)
+                mem_k.append(k)
+                mem_v.append(v)
+                logit = stm.apply(stm_vars, img[:, t + 1],
+                                  jnp.stack(mem_k, axis=1), jnp.stack(mem_v, axis=1),
+                                  None, method=STM.segment)
+                logit_trimap[t] = logit
+                preds_trimap[t + 1] = jax.nn.softmax(logit, axis=-1)
+
+    def seq_loss(preds):
+        terms = [L.fba_frame_loss(preds[t], gt_trimask[:, t], gt_alpha[:, t],
+                                  fg[:, t], bg[:, t], img[:, t]) for t in range(S)]
+        L_ac = sum(x[0] for x in terms) / S
+        L_gr = sum(x[1] for x in terms) / S
+        L_lp = sum(x[2] for x in terms) / S
+        alphas = jnp.stack([x[3] for x in terms], axis=1)
+        comps = jnp.stack([x[4] for x in terms], axis=1)
+        Fs = jnp.stack([x[5] for x in terms], axis=1)
+        Bs = jnp.stack([x[6] for x in terms], axis=1)
+        L_gr = L_gr + L.temporal_coherence_loss(alphas, Fs, Bs, gt_alpha, fg, bg)
+        return L_ac, L_lp, L_gr, alphas, comps
+
+    L1 = seq_loss(outs)
+    if refinement:
+        L2 = seq_loss(routs)
+        L_alpha_comp, L_lap, L_grad = L1[0] + L2[0], L1[1] + L2[1], L1[2] + L2[2]
+        alphas, comps = L2[3], L2[4]
+    else:
+        L_alpha_comp, L_lap, L_grad = L1[0], L1[1], L1[2]
+        alphas, comps = L1[3], L1[4]
+
+    if use_trimap_net:
+        gt_labels = jnp.argmax(tri[:, 1:], axis=-1)          # [B, S-1, H, W]
+        lt = jnp.stack(logit_trimap, axis=1)
+        loss_trimap = L.cross_entropy(lt, gt_labels)
+        if refinement:
+            gt_all = jnp.argmax(tri, axis=-1)
+            ltr = jnp.stack(logit_trimap_refine, axis=1)
+            loss_trimap = loss_trimap + L.cross_entropy(ltr, gt_all)
+    else:
+        loss_trimap = jnp.zeros(())
+
+    total = L_alpha_comp + L_lap + L_grad
+    if stage > 1:
+        total = total + loss_trimap
+    aux = dict(L_alpha_comp=L_alpha_comp, L_lap=L_lap, L_grad=L_grad,
+               L_tri=loss_trimap, alphas=alphas, comps=comps)
+    return total, aux
+
+
+# ---------------------------------------------------------------------------
+# stage-1 trimap training forward (train_s1_trimap.py)
+# ---------------------------------------------------------------------------
+
+def trimap_train_forward(stm_vars, batch: Dict[str, jnp.ndarray],
+                         ignore_label: int = 255):
+    """== trimap FullModel._forward stage 1 (models/trimap/model.py:75-131).
+
+    batch: img [B,S,H,W,3] in [0,1], tri [B,S,H,W,3] one-hot float.
+    The reference's per-item python loop (b=1 only, model.py:87) is replaced
+    by real batching.  Returns (loss, aux with stacked predictions)."""
+    stm = STM(hdim=-1)
+    img, tri = batch["img"], batch["tri"]
+    B, S = img.shape[:2]
+
+    Es = [tri[:, 0]] + [None] * (S - 1)
+    logits_list = []
+    mem_k, mem_v = [], []
+    for t in range(1, S):
+        k, v = stm.apply(stm_vars, img[:, t - 1], Es[t - 1][..., 1],
+                         Es[t - 1][..., 2], method=STM.memorize)
+        mem_k.append(k)
+        mem_v.append(v)
+        logit = stm.apply(stm_vars, img[:, t],
+                          jnp.stack(mem_k, axis=1), jnp.stack(mem_v, axis=1),
+                          None, method=STM.segment)
+        logits_list.append(logit)
+        Es[t] = jax.nn.softmax(logit, axis=-1)
+
+    gt = jnp.argmax(tri, axis=-1)                       # [B, S, H, W]
+    loss = sum(L.cross_entropy(logits_list[t - 1], gt[:, t], ignore_label)
+               for t in range(1, S)) / float(S - 1)
+    preds = jnp.stack([Es[t] for t in range(S)], axis=1)
+    return loss, dict(pred=preds)

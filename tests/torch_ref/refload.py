@@ -26,6 +26,12 @@ def load_reference():
     from . import tvstub
     tvstub.install()
 
+    # the reference hardcodes .to(torch.cuda.current_device()) in several
+    # forward paths (e.g. models/trimap/model.py:134); run them on CPU
+    import torch
+    if not torch.cuda.is_available():
+        torch.cuda.current_device = lambda: "cpu"
+
     real_popen = os.popen
 
     def fake_popen(cmd, *a, **k):
