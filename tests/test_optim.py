@@ -44,18 +44,18 @@ def test_radam_matches_reference(ref, weight_decay):
 
 
 def test_radam_no_update_before_rectification():
-    """degenerated_to_sgd=False: steps 1-4 must leave params unchanged
-    (utils/optimizer.py:75-78)."""
+    """degenerated_to_sgd=False: steps 1-5 leave params unchanged (n_sma
+    first reaches 5 at step 6 with beta2=0.999; utils/optimizer.py:75-78)."""
     tx = radam(1e-2, weight_decay=1e-2)
     params = {"w": jnp.ones((3,))}
     state = tx.init(params)
-    for i in range(4):
+    for i in range(5):
         updates, state = tx.update({"w": jnp.ones((3,))}, state, params)
         params = optax.apply_updates(params, updates)
         np.testing.assert_allclose(np.asarray(params["w"]), 1.0, atol=0)
     updates, state = tx.update({"w": jnp.ones((3,))}, state, params)
     params = optax.apply_updates(params, updates)
-    assert float(jnp.abs(params["w"] - 1.0).max()) > 0  # step 5 updates
+    assert float(jnp.abs(params["w"] - 1.0).max()) > 0  # step 6 updates
 
 
 def test_stair_schedule():
