@@ -1,0 +1,92 @@
+"""Benchmark: streaming joint (s4) trimap+alpha inference throughput.
+
+Measures frames/sec of the jitted per-frame step at 512p with the reference
+eval protocol (memory bank <=5 slots, memorize every 10 frames,
+eval.py:178-190) on the default JAX backend (TPU under the driver).
+
+Prints ONE JSON line:
+  {"metric": "fps_512p_joint_s4", "value": N, "unit": "frames/sec",
+   "vs_baseline": N / 30.0}
+vs_baseline is against the BASELINE.json north star (>=30 fps @512p).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+H, W = 512, 512
+N_WARMUP = 3
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", "60"))
+MAX_MEM = 5
+SKIP = 10
+BASELINE_FPS = 30.0
+DTYPE = os.environ.get("BENCH_DTYPE", "bf16")
+
+
+def main():
+    from otvm_tpu.models.memory import init_bank
+    from otvm_tpu.models.otvm import eval_frame_step
+    from otvm_tpu.train.trainer import init_train_state
+    from otvm_tpu.config import get_cfg_defaults
+
+    cfg = get_cfg_defaults()
+    cfg.train.stage = 4
+    state = init_train_state(cfg, jax.random.PRNGKey(0), None, 64, 64)
+
+    dtype = jnp.bfloat16 if DTYPE == "bf16" else jnp.float32
+    cast = lambda t: jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, t)
+    stm_vars = cast({"params": state.params["stm"], "batch_stats": state.batch_stats})
+    fba_vars = cast({"params": state.params["fba"]})
+
+    bank = init_bank(1, (H // 16) * (W // 16), MAX_MEM, dtype=dtype)
+    rng = np.random.RandomState(0)
+    frames = [jnp.asarray(rng.rand(1, H, W, 3), dtype) for _ in range(4)]
+    tri = np.zeros((1, H, W, 3), np.float32)
+    tri[..., 0] = 1.0
+    tri[0, H // 4:-H // 4, W // 4:-W // 4, 0] = 0.0
+    tri[0, H // 4:-H // 4, W // 4:-W // 4, 1] = 1.0
+    tri[0, 3 * H // 8:-3 * H // 8, 3 * W // 8:-3 * W // 8, 1] = 0.0
+    tri[0, 3 * H // 8:-3 * H // 8, 3 * W // 8:-3 * W // 8, 2] = 1.0
+    first_tri = jnp.asarray(tri, dtype)
+
+    def step(bank, frame, first, mem, last):
+        return eval_frame_step(stm_vars, fba_vars, bank, frame, first_tri,
+                               first, mem, last, stage=4, max_memory_num=MAX_MEM)
+
+    # warmup / compile (first frame + steady-state branch)
+    out = step(bank, frames[0], jnp.asarray(True), jnp.asarray(False), jnp.asarray(False))
+    for i in range(1, N_WARMUP):
+        out = step(out.bank, frames[i % len(frames)], jnp.asarray(False),
+                   jnp.asarray(i % SKIP == 0), jnp.asarray(False))
+    jax.block_until_ready(out.alpha)
+    assert bool(jnp.isfinite(out.alpha.astype(jnp.float32)).all()), "non-finite alpha"
+
+    bank = out.bank
+    t0 = time.perf_counter()
+    for i in range(N_FRAMES):
+        out = step(bank, frames[i % len(frames)], jnp.asarray(False),
+                   jnp.asarray(i % SKIP == 0), jnp.asarray(False))
+        bank = out.bank
+    jax.block_until_ready(out.alpha)
+    dt = time.perf_counter() - t0
+    fps = N_FRAMES / dt
+
+    print(json.dumps({
+        "metric": "fps_512p_joint_s4",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / BASELINE_FPS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,231 @@
+"""Streaming eval driver — the reference eval.py re-designed for TPU.
+
+Protocol parity (eval.py:117-242):
+  * per-video streaming with the jitted `eval_frame_step` (one compile per
+    resolution bucket — the bank is fixed-shape, flags are traced);
+  * memory policy flags: memorize every MEMORY_SKIP_FRAME-th frame, bank
+    capped at MEMORY_MAX_NUM; >1100 px inputs halve the bank and double the
+    skip (eval.py:178-190);
+  * frames padded to /32 (models/alpha/model.py:408-410), trimap bg-padded;
+  * trimap widths narrow/medium/wide -> dilation radius 5/12/20;
+  * alpha PNGs written per frame; quality metrics via eval.metrics.
+
+Re-design: decode + trimap synthesis + padding happen host-side while the
+previous frame computes on-device (simple software pipelining: we enqueue
+the device step, then prepare the next frame before blocking on results).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TRIMAP_WIDTH_KERNELS
+from ..data.trimap import trimap_from_alpha, trimap_from_png
+from ..models.otvm import eval_frame_step, make_eval_bank
+from ..nn.ops import divide_pad_amounts
+
+
+@dataclasses.dataclass
+class EvalProtocol:
+    memory_max_num: int = 5
+    memory_skip_frame: int = 10
+    trimap_width: str = "medium"
+    stage: int = 4
+    large_input_edge: int = 1100     # eval.py:184
+
+    def flags(self, n_frames: int, height: int, width: int):
+        """Per-frame (first, memorize, last) + effective bank size."""
+        skip = self.memory_skip_frame
+        max_num = self.memory_max_num
+        large = min(height, width) > self.large_input_edge
+        if large:
+            skip *= 2
+            max_num = int(max_num / 2)
+        out = []
+        for i in range(n_frames):
+            memorize = (i % skip == 0) if skip > 2 else False
+            out.append((i == 0, memorize, i == n_frames - 1))
+        return out, max_num, large
+
+
+def _pad_frame(frame: np.ndarray, tri: Optional[np.ndarray]):
+    h, w = frame.shape[:2]
+    lw, uw, lh, uh = divide_pad_amounts(h, w, 32)
+    pad = ((lh, uh), (lw, uw))
+    f = np.pad(frame, (*pad, (0, 0)))
+    t = None
+    if tri is not None:
+        t = np.stack([
+            np.pad(tri[..., 0], pad, constant_values=1.0),   # bg-pad
+            np.pad(tri[..., 1], pad),
+            np.pad(tri[..., 2], pad),
+        ], axis=-1)
+    return f, t, (lw, uw, lh, uh)
+
+
+def _unpad(x: np.ndarray, pad):
+    lw, uw, lh, uh = pad
+    h, w = x.shape[:2]
+    return x[lh:h - uh if uh else h, lw:w - uw if uw else w]
+
+
+class StreamingEvaluator:
+    """Holds converted params; call `run_video` per clip."""
+
+    def __init__(self, trimap_vars, alpha_vars, protocol: EvalProtocol):
+        self.trimap_vars = trimap_vars
+        self.alpha_vars = alpha_vars
+        self.protocol = protocol
+
+    def run_video(self, frames01: Sequence[np.ndarray],
+                  first_trimap3: np.ndarray,
+                  out_dir: Optional[str] = None,
+                  filenames: Optional[Sequence[str]] = None
+                  ) -> Tuple[List[np.ndarray], List[np.ndarray], float]:
+        """frames01: RGB [H,W,3] float in [0,1]; first_trimap3 [H,W,3]
+        one-hot.  Returns (alphas, trimaps, fps)."""
+        n = len(frames01)
+        h, w = frames01[0].shape[:2]
+        flags, max_num, _ = self.protocol.flags(n, h, w)
+
+        f0, t0, pad = _pad_frame(frames01[0], first_trimap3)
+        ph, pw = f0.shape[:2]
+        bank = make_eval_bank(1, ph, pw, max_num)
+        first_tri_dev = jnp.asarray(t0[None])
+
+        alphas, trimaps = [], []
+        t_start = time.perf_counter()
+        pending = None  # (EvalOutput, pad) — overlap host prep with device
+
+        for i in range(n):
+            f, _, pad = _pad_frame(frames01[i], None) if i else (f0, t0, pad)
+            first, memorize, last = flags[i]
+            out = eval_frame_step(
+                self.trimap_vars, self.alpha_vars, bank,
+                jnp.asarray(f[None]), first_tri_dev,
+                jnp.asarray(first), jnp.asarray(memorize), jnp.asarray(last),
+                stage=self.protocol.stage, max_memory_num=max_num)
+            bank = out.bank
+            if pending is not None:
+                self._collect(pending, alphas, trimaps)
+            pending = (out, pad)
+        self._collect(pending, alphas, trimaps)
+        fps = n / (time.perf_counter() - t_start)
+
+        if out_dir is not None:
+            import cv2
+            os.makedirs(out_dir, exist_ok=True)
+            for i, a in enumerate(alphas):
+                name = (os.path.splitext(filenames[i])[0] + ".png"
+                        if filenames else f"{i:05d}.png")
+                cv2.imwrite(os.path.join(out_dir, name),
+                            (np.clip(a, 0, 1) * 255).astype(np.uint8))
+        return alphas, trimaps, fps
+
+    @staticmethod
+    def _collect(pending, alphas, trimaps):
+        out, pad = pending
+        alphas.append(_unpad(np.asarray(out.alpha[0, :, :, 0]), pad))
+        trimaps.append(_unpad(np.asarray(out.trimap[0]), pad))
+
+
+# ---------------------------------------------------------------------------
+# video sources (demo + VM108 layouts, dataset.py:959-1070)
+# ---------------------------------------------------------------------------
+
+def iter_demo_videos(data_root: str) -> Iterator[Dict]:
+    """demo layout: <root>/<seq>/frames/*.jpg + <root>/<seq>/trimap/*.png;
+    only the first frame needs a trimap (Demo_Test, dataset.py:1019-1070)."""
+    import cv2
+
+    for seq in sorted(os.listdir(data_root)):
+        fdir = os.path.join(data_root, seq, "frames")
+        tdir = os.path.join(data_root, seq, "trimap")
+        if not os.path.isdir(fdir):
+            continue
+        names = sorted(os.listdir(fdir))
+        frames = []
+        for nm in names:
+            bgr = cv2.imread(os.path.join(fdir, nm), cv2.IMREAD_COLOR)
+            frames.append(bgr[..., ::-1].astype(np.float32) / 255.0)
+        tri_name = os.path.splitext(names[0])[0] + ".png"
+        tri_img = cv2.imread(os.path.join(tdir, tri_name), cv2.IMREAD_UNCHANGED)
+        tri = trimap_from_png(tri_img)
+        yield dict(seq_name=seq, frames=frames, first_trimap=tri,
+                   filenames=names, gt_alpha=None)
+
+
+def iter_vm108_videos(data_root: str, mode: str = "val",
+                      dilate_radius: int = 12) -> Iterator[Dict]:
+    """VideoMatting108 layout (VideoMatting108_Test, dataset.py:959-1017):
+    FG_done/<seq>/*.png with alpha in the 4th channel, BG_done2 via
+    frame_corr.json; GT trimap synthesized from alpha with a fixed radius."""
+    import json
+
+    import cv2
+
+    root = os.path.join(data_root, "VideoMatting108")
+    with open(os.path.join(root, "frame_corr.json")) as f:
+        frame_corr = json.load(f)
+    with open(os.path.join(root, f"{mode}_videos.txt")) as f:
+        seqs = [v.strip() for v in f if v.strip()]
+
+    for seq in seqs:
+        fns = [k for k in sorted(frame_corr.keys()) if os.path.dirname(k) == seq]
+        frames, gt_alphas = [], []
+        for fn in fns:
+            fgp = os.path.join(root, "FG_done", fn)
+            raw = cv2.imread(fgp, cv2.IMREAD_UNCHANGED)
+            fg = raw[..., :3].astype(np.float32)
+            a = raw[..., 3:4].astype(np.float32) / 255.0
+            bgp = os.path.join(root, "BG_done2", frame_corr[fn])
+            if not os.path.exists(bgp):
+                bgp = os.path.splitext(bgp)[0] + ".png"
+            bg = cv2.imread(bgp, cv2.IMREAD_COLOR).astype(np.float32)
+            comp = (fg * a + bg * (1 - a))[..., ::-1] / 255.0  # BGR->RGB, [0,1]
+            frames.append(comp.astype(np.float32))
+            gt_alphas.append(a[..., 0])
+        tri = trimap_from_alpha(gt_alphas[0], dilate_radius)
+        yield dict(seq_name=seq, frames=frames, first_trimap=tri,
+                   filenames=[os.path.basename(f) for f in fns],
+                   gt_alpha=gt_alphas, dilate_radius=dilate_radius)
+
+
+def evaluate_vm108(evaluator: StreamingEvaluator, data_root: str,
+                   out_dir: Optional[str] = None, mode: str = "val",
+                   max_videos: Optional[int] = None) -> Dict[str, float]:
+    """Full VM108 protocol: run every clip, score SAD/MSE/... against GT
+    alpha with the trimask from the per-frame GT trimap (metric masks are
+    the unknown regions, utils/tmp/metric.py:114-119)."""
+    from .metrics import video_metrics
+
+    radius = TRIMAP_WIDTH_KERNELS[evaluator.protocol.trimap_width]
+    totals: Dict[str, float] = {}
+    count = 0
+    fps_all = []
+    for vid in iter_vm108_videos(data_root, mode, radius):
+        alphas, _, fps = evaluator.run_video(
+            vid["frames"], vid["first_trimap"],
+            out_dir=os.path.join(out_dir, vid["seq_name"]) if out_dir else None,
+            filenames=vid["filenames"])
+        fps_all.append(fps)
+        pred = np.stack(alphas) * 255.0
+        gt = np.stack(vid["gt_alpha"]) * 255.0
+        mask = np.stack([trimap_from_alpha(a, radius)[..., 1]
+                         for a in vid["gt_alpha"]]) * 128.0
+        m = video_metrics(pred, gt, mask)
+        for k, v in m.items():
+            totals[k] = totals.get(k, 0.0) + v
+        count += 1
+        if max_videos and count >= max_videos:
+            break
+    out = {k: v / max(count, 1) for k, v in totals.items()}
+    out["fps"] = float(np.mean(fps_all)) if fps_all else 0.0
+    out["videos"] = count
+    return out

@@ -112,10 +112,11 @@ def adaptive_avg_pool(x: jnp.ndarray, out_hw: Sequence[int]) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def max_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:
-    """nn.MaxPool2d(kernel=3, stride=2, padding=1) on NHWC."""
-    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    """nn.MaxPool2d(kernel=3, stride=2, padding=1) on NHWC.
+
+    Init must be -inf (not finfo.min) for reduce_window's max VJP rule."""
     return jax.lax.reduce_window(
-        x, neg, jax.lax.max,
+        x, -jnp.inf, jax.lax.max,
         window_dimensions=(1, 3, 3, 1),
         window_strides=(1, 2, 2, 1),
         padding=((0, 0), (1, 1), (1, 1), (0, 0)),

@@ -1,0 +1,169 @@
+"""Stage-wise trainer: one jitted DP train step over a device mesh.
+
+Reference semantics reproduced:
+  * stage matrix (train.py:86-168, 305-327):
+      s1  alpha alone, GT trimaps every frame (trimap net absent)
+      s2  alpha trained, trimap frozen (param filter at train.py:146-168)
+      s3  trimap trained, alpha frozen
+      s4  everything trained end-to-end
+    Freezing = optax.masked zero-updates — gradients still flow THROUGH the
+    frozen net (the reference never detaches it either; its CE-trimap loss
+    back-propagates into the alpha net through the frozen trimap net).
+  * RAdam(lr=1e-5, wd=1e-4) with per-iteration stair LR (x0.1 @ 90%).
+  * loss = L_alpha_comp + L_lap + L_grad (+ L_tri for s2+) (train.py:355-366).
+  * the DDP gradient all-reduce and the reduce_tensor logging collective
+    (helpers.py:76-90) are implicit: batch sharded on the 'data' mesh axis,
+    params replicated, jit inserts psums.
+
+Beyond parity: full checkpoint/RESUME (params + optimizer state + step) via
+orbax — the reference saves optimizer state but has no resume path at all
+(train.py:127, SURVEY §5).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..config import Config
+from ..models.otvm import joint_train_forward, trimap_train_forward
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from .optim import SCHEDULES, radam
+
+
+@struct.dataclass
+class TrainState:
+    params: Any            # {'stm': {...}, 'fba': {...}}
+    batch_stats: Any       # STM frozen-BN stats (never updated)
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def stage_trainable_mask(params, stage: int):
+    """train.py:146-168: s2 freezes trimap.*, s3 freezes NET.* (alpha)."""
+    def mask_for(top):
+        if stage == 2 and top == "stm":
+            return False
+        if stage == 3 and top == "fba":
+            return False
+        return True
+
+    return {top: jax.tree_util.tree_map(lambda _: mask_for(top), sub)
+            for top, sub in params.items()}
+
+
+def make_optimizer(cfg: Config, params, iters_per_epoch: int):
+    total_iters = cfg.train.total_epochs * iters_per_epoch
+    schedule = SCHEDULES[cfg.train.lr_strategy](cfg.train.base_lr, total_iters)
+    tx = radam(schedule, weight_decay=cfg.train.weight_decay)
+    if cfg.train.stage in (2, 3):
+        tx = optax.masked(tx, stage_trainable_mask(params, cfg.train.stage))
+    return tx
+
+
+def _stm_vars(state: TrainState):
+    v = {"params": state.params["stm"]}
+    if state.batch_stats:
+        v["batch_stats"] = state.batch_stats
+    return v
+
+
+def make_train_step(cfg: Config, tx: optax.GradientTransformation):
+    stage = cfg.train.stage
+
+    def loss_fn(params, batch_stats, batch):
+        stm_vars = {"params": params["stm"], "batch_stats": batch_stats}
+        fba_vars = {"params": params["fba"]}
+        total, aux = joint_train_forward(stm_vars, fba_vars, batch, stage)
+        return total, aux
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(loss=loss, L_alpha_comp=aux["L_alpha_comp"],
+                       L_lap=aux["L_lap"], L_grad=aux["L_grad"], L_tri=aux["L_tri"])
+        return TrainState(params, state.batch_stats, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def make_trimap_s1_train_step(cfg: Config, tx: optax.GradientTransformation):
+    """train_s1_trimap.py equivalent: STM-only CE training."""
+
+    def loss_fn(params, batch_stats, batch):
+        stm_vars = {"params": params["stm"], "batch_stats": batch_stats}
+        return trimap_train_forward(stm_vars, batch)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (TrainState(params, state.batch_stats, opt_state, state.step + 1),
+                dict(loss=loss))
+
+    return train_step
+
+
+def init_train_state(cfg: Config, rng: jax.Array, tx=None,
+                     height: Optional[int] = None, width: Optional[int] = None
+                     ) -> TrainState:
+    """Random-init both networks for the given stage (shape-driven)."""
+    from ..models.fba import FBA
+    from ..models.stm import STM
+
+    h, w = height or cfg.train.train_input_size[0], width or cfg.train.train_input_size[1]
+    stage = cfg.train.stage
+    stm = STM(hdim=16 if stage > 2 else -1)
+    fba = FBA(refinement=stage > 2)
+    r1, r2, r3 = jax.random.split(rng, 3)
+
+    frame = jnp.zeros((1, h, w, 3))
+    mask = jnp.zeros((1, h, w))
+    kwargs = {}
+    if stm.hdim > 0:
+        kwargs = dict(alpha=mask, hidden=jnp.zeros((1, h, w, stm.hdim)))
+    stm_m = stm.init(r1, frame, mask, mask, method=STM.memorize, **kwargs)
+    hw16 = (h // 16) * (w // 16)
+    stm_s = stm.init(r2, frame, jnp.zeros((1, 1, hw16, 128)),
+                     jnp.zeros((1, 1, hw16, 512)), None, method=STM.segment)
+
+    def merge(a, b):
+        out = dict(a)
+        for k, v in b.items():
+            out[k] = merge(a[k], v) if (k in a and isinstance(v, dict)) else \
+                (out.get(k, v))
+        return out
+
+    stm_params = merge(dict(stm_m["params"]), dict(stm_s["params"]))
+    batch_stats = merge(dict(stm_m.get("batch_stats", {})),
+                        dict(stm_s.get("batch_stats", {})))
+    fba_v = fba.init(r3, jnp.zeros((1, h, w, 11)), frame, jnp.zeros((1, h, w, 2)))
+    params = {"stm": stm_params, "fba": dict(fba_v["params"])}
+    opt_state = tx.init(params) if tx is not None else None
+    return TrainState(params, batch_stats, opt_state, jnp.zeros((), jnp.int32))
+
+
+def run_epoch(state: TrainState, train_step, batches, mesh=None):
+    """Drive one epoch; batches is any iterable of host pytrees."""
+    metrics_acc = None
+    n = 0
+    for batch in batches:
+        if mesh is not None:
+            batch = shard_batch(mesh, batch)
+        state, metrics = train_step(state, batch)
+        metrics_acc = metrics if metrics_acc is None else \
+            jax.tree_util.tree_map(lambda a, b: a + b, metrics_acc, metrics)
+        n += 1
+    if metrics_acc is not None:
+        metrics_acc = jax.tree_util.tree_map(lambda a: a / n, metrics_acc)
+    return state, metrics_acc

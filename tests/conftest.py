@@ -2,7 +2,12 @@
 run on a fake mesh — the TPU answer to 'multi-node without a cluster')."""
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# Allow 8 virtual devices if the CPU backend is selected (sharding tests);
+# numeric/parity tests run on whatever backend is default — they pin fp32
+# matmul precision below, so they pass identically on CPU and TPU.
+# (Forcing everything to CPU is impractical here: the single-core CPU XLA
+# backend compiles the big conv graphs orders of magnitude slower than the
+# TPU backend.)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
