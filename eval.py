@@ -1,0 +1,93 @@
+"""Streaming inference entry point (parity with reference eval.py).
+
+Usage:
+  python eval.py --demo [--data-root ./demo] --weights s4_OTVM.pth
+  python eval.py --trimap medium --data-root <VM108 root> --weights ...
+
+Weights may be a released PyTorch .pth (converted on the fly) or an orbax
+train-state directory produced by train.py.  Without --weights, random
+weights are used (pipeline smoke runs).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Evaluate OTVM-TPU")
+    p.add_argument("--trimap", default="medium", choices=["narrow", "medium", "wide"])
+    p.add_argument("--demo", action="store_true")
+    p.add_argument("--viz", action="store_true")
+    p.add_argument("--data-root", type=str, default=None)
+    p.add_argument("--weights", type=str, default=None)
+    p.add_argument("--outdir", type=str, default=None)
+    p.add_argument("--max-videos", type=int, default=None)
+    p.add_argument("--testmode", action="store_true")
+    return p.parse_args()
+
+
+def load_weights(path, stage=4):
+    import jax
+
+    from otvm_tpu.config import get_cfg_defaults
+    from otvm_tpu.train.trainer import init_train_state
+    from otvm_tpu.utils.checkpoint import import_torch_checkpoint, restore_train_state
+
+    cfg = get_cfg_defaults()
+    cfg.train.stage = stage
+    state = init_train_state(cfg, jax.random.PRNGKey(0), None, 64, 64)
+    if path is None:
+        print("WARNING: no --weights given; using random weights")
+    elif path.endswith(".pth"):
+        imported = import_torch_checkpoint(path, stage)
+        trimap_vars = imported["trimap"]
+        alpha_vars = imported["alpha"]
+        return trimap_vars, alpha_vars
+    else:
+        state = restore_train_state(path, state)
+    trimap_vars = {"params": state.params["stm"], "batch_stats": state.batch_stats}
+    alpha_vars = {"params": state.params["fba"]}
+    return trimap_vars, alpha_vars
+
+
+def main():
+    from otvm_tpu.config import get_cfg_defaults
+    from otvm_tpu.eval.runner import (EvalProtocol, StreamingEvaluator,
+                                      evaluate_vm108, iter_demo_videos)
+
+    args = parse_args()
+    cfg = get_cfg_defaults()
+    data_root = args.data_root or ("./demo" if args.demo else cfg.dataset.path)
+    outdir = args.outdir or ("./demo_results" if args.demo else
+                             os.path.join(cfg.system.outdir, "alpha", "test",
+                                          args.trimap, "s4_OTVM"))
+
+    trimap_vars, alpha_vars = load_weights(args.weights)
+    protocol = EvalProtocol(memory_max_num=cfg.test.memory_max_num,
+                            memory_skip_frame=cfg.test.memory_skip_frame,
+                            trimap_width=args.trimap)
+    ev = StreamingEvaluator(trimap_vars, alpha_vars, protocol)
+
+    if args.demo:
+        for vid in iter_demo_videos(data_root):
+            frames = vid["frames"]
+            if args.testmode:
+                frames = frames[:4]
+            alphas, trimaps, fps = ev.run_video(
+                frames, vid["first_trimap"],
+                out_dir=os.path.join(outdir, "pred", vid["seq_name"]),
+                filenames=vid["filenames"])
+            print(f"{vid['seq_name']}: {len(alphas)} frames @ {fps:.2f} fps")
+    else:
+        results = evaluate_vm108(ev, data_root, out_dir=os.path.join(outdir, "pred"),
+                                 max_videos=(2 if args.testmode else args.max_videos))
+        print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -46,10 +46,14 @@ def make_trimap_features(tri3: jnp.ndarray, exact_edt: bool = False
     am = jnp.argmax(tri3, axis=-1)
     t2b = (am == 0).astype(jnp.float32)
     t2f = (am == 2).astype(jnp.float32)
-    clicks = trimap_clicks(jnp.stack([t2b, t2f], axis=-1), exact=exact_edt)
+    # clicks are gradient-free by construction (binarized inputs; the
+    # reference computes them in cv2 on the host, utils/utils.py:12-23);
+    # stop_gradient keeps the EDT out of the backward graph entirely.
+    clicks = jax.lax.stop_gradient(
+        trimap_clicks(jnp.stack([t2b, t2f], axis=-1), exact=exact_edt))
     soft = jnp.stack([tri3[..., 0], tri3[..., 2]], axis=-1)
-    feats = jnp.concatenate([clicks, soft], axis=-1)
-    trimask = (am == 1).astype(jnp.float32)[..., None]
+    feats = jnp.concatenate([clicks.astype(tri3.dtype), soft], axis=-1)
+    trimask = (am == 1).astype(tri3.dtype)[..., None]
     return feats, trimask
 
 

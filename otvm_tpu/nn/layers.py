@@ -79,8 +79,10 @@ class WSConv(nn.Module):
         n = k[0] * k[1] * in_ch
         var = jnp.sum(w * w, axis=(0, 1, 2), keepdims=True) / max(n - 1, 1)
         w = w / (jnp.sqrt(var + 1e-12) + 1e-5)
+        # standardization is done in f32 for numerics; the conv itself runs
+        # in the module dtype (or the input dtype for bf16 inference paths)
+        w = w.astype(self.dtype if self.dtype is not None else x.dtype)
         if self.dtype is not None:
-            w = w.astype(self.dtype)
             x = x.astype(self.dtype)
         p = _pair(self.padding)
         y = jax.lax.conv_general_dilated(

@@ -52,7 +52,7 @@ def _resize_axis(x: jnp.ndarray, axis: int, out_size: int) -> jnp.ndarray:
     if in_size == out_size:
         return x
     i0, i1, w1 = _linear_taps(in_size, out_size)
-    w1 = jnp.asarray(w1)
+    w1 = jnp.asarray(w1, dtype=x.dtype)  # keep bf16 paths bf16
     shape = [1] * x.ndim
     shape[axis] = out_size
     w1 = w1.reshape(shape)
@@ -100,7 +100,7 @@ def adaptive_avg_pool(x: jnp.ndarray, out_hw: Sequence[int]) -> jnp.ndarray:
         cnt = (ends - starts).astype(np.float32)
         shape = [1] * v.ndim
         shape[axis] = out_size
-        return (hi - lo) / jnp.asarray(cnt).reshape(shape)
+        return (hi - lo) / jnp.asarray(cnt, dtype=v.dtype).reshape(shape)
 
     x = pool_axis(x, 1, h, out_h)
     x = pool_axis(x, 2, w, out_w)

@@ -1,0 +1,70 @@
+"""Checkpoint save/restore (orbax) — strict upgrade over the reference.
+
+The reference only ever SAVES (train.py:229-246); `start_epoch = 0` is
+hardcoded (train.py:127) and optimizer state, though written, is never read
+back — there is no resume at all (SURVEY §5).  Here:
+
+  * save_train_state / restore_train_state round-trip params + frozen BN
+    stats + optimizer state + step, so preempted runs resume exactly;
+  * per-stage artifact contract mirrors the reference loader matrix
+    (train.py:90-121): stage checkpoints are written under
+    weights/<model_name>/ and the next stage's init loads them;
+  * import_torch_checkpoint bridges the released .pth files via
+    otvm_tpu.convert.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _ckpt(path: str):
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer(), os.path.abspath(path)
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    ckptr, path = _ckpt(path)
+    ckptr.save(path, jax.tree_util.tree_map(np.asarray, tree), force=True)
+
+
+def restore_pytree(path: str, target: Optional[Any] = None) -> Any:
+    ckptr, path = _ckpt(path)
+    if target is not None:
+        return ckptr.restore(path, item=jax.tree_util.tree_map(np.asarray, target))
+    return ckptr.restore(path)
+
+
+def save_train_state(path: str, state) -> None:
+    save_pytree(path, dict(params=state.params, batch_stats=state.batch_stats,
+                           opt_state=state.opt_state, step=state.step))
+
+
+def restore_train_state(path: str, template):
+    """template: a TrainState with the right structure (fresh init)."""
+    tree = restore_pytree(path, dict(params=template.params,
+                                     batch_stats=template.batch_stats,
+                                     opt_state=template.opt_state,
+                                     step=template.step))
+    return template.replace(params=tree["params"], batch_stats=tree["batch_stats"],
+                            opt_state=tree["opt_state"], step=tree["step"])
+
+
+def import_torch_checkpoint(path: str, stage: int):
+    """Released .pth -> {'trimap': vars, 'alpha': vars} (joint, s3/s4) or
+    single-net variables for the earlier-stage artifacts."""
+    from ..convert import (convert_fba, convert_joint, convert_stm,
+                           load_torch_state_dict)
+
+    sd = load_torch_state_dict(path)
+    keys = list(sd.keys())
+    if any(k.startswith("NET.") for k in keys):
+        return convert_joint(sd, stage=stage)
+    if any(k.startswith("Encoder_M.") for k in keys):
+        hdim = 16 if any("conv1_h" in k for k in keys) else -1
+        return {"trimap": convert_stm(sd, hdim=hdim)}
+    return {"alpha": convert_fba(sd, refinement=stage > 2)}

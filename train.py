@@ -1,0 +1,141 @@
+"""Stage-wise training entry point (parity with reference train.py).
+
+Usage:
+  python train.py --stage {1,2,3,4} [--data-root PATH] [--testmode]
+                  [--init CKPT.pth|orbax_dir] [--resume orbax_dir]
+                  [--epochs N] [--batch-size B]
+
+Stages (train.py:86-168 semantics):
+  1  alpha net alone on DIM (GT trimaps every frame)
+  2  alpha trained / trimap frozen, on DIM
+  3  trimap trained / alpha frozen, on DIM
+  4  joint end-to-end on VideoMatting108 with the max_skip curriculum
+
+Parallelism: 1-D data mesh over all visible devices (DDP equivalent); run
+one process per host for multi-host (JAX_COORDINATOR_ADDRESS set).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train OTVM-TPU")
+    p.add_argument("--stage", type=int, required=True, choices=[1, 2, 3, 4])
+    p.add_argument("--data-root", type=str, default=None)
+    p.add_argument("--testmode", action="store_true",
+                   help="smoke test: ~20 iters, 1 epoch (cfg.SYSTEM.TESTMODE)")
+    p.add_argument("--init", type=str, default=None,
+                   help="prior-stage weights (.pth via converter, or orbax dir)")
+    p.add_argument("--resume", type=str, default=None, help="orbax train-state dir")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--repeats", type=int, default=20,
+                   help="dataset x20 per epoch (train.py:283)")
+    return p.parse_args()
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from otvm_tpu.config import get_cfg_defaults, get_model_name
+    from otvm_tpu.data.datasets import DIMTrain, VM108Train, vm108_max_skip_for_epoch
+    from otvm_tpu.data.loader import Loader, epoch_indices
+    from otvm_tpu.parallel.mesh import init_distributed, make_mesh, shard_batch
+    from otvm_tpu.train.trainer import (init_train_state, make_optimizer,
+                                        make_train_step, run_epoch)
+    from otvm_tpu.utils.checkpoint import (import_torch_checkpoint,
+                                           restore_train_state, save_train_state)
+    from otvm_tpu.utils.logging import AverageMeter, StepTimer, create_logger
+
+    args = parse_args()
+    cfg = get_cfg_defaults()
+    cfg.train.stage = args.stage
+    if args.data_root:
+        cfg.dataset.path = args.data_root
+    if args.testmode:
+        cfg.system.testmode = True
+    if args.epochs:
+        cfg.train.total_epochs = args.epochs
+    if args.batch_size:
+        cfg.train.batch_size = args.batch_size
+
+    init_distributed()
+    mesh = make_mesh()
+    model_name = get_model_name(cfg)
+    logger, run_dir = create_logger(cfg.system.outdir, model_name)
+    logger.info(f"stage {args.stage} | devices {jax.device_count()} "
+                f"| global batch {cfg.train.batch_size}")
+
+    # dataset
+    hw = cfg.train.train_input_size
+    if args.stage == 4:
+        dataset = VM108Train(cfg.dataset.path, hw, cfg.train.frame_num)
+    else:
+        dataset = DIMTrain.from_adobe_layout(cfg.dataset.path, image_shape=hw,
+                                             sample_length=cfg.train.frame_num)
+    iters_per_epoch = max(len(dataset) * args.repeats // cfg.train.batch_size, 1)
+
+    # state init / stage chaining
+    state = init_train_state(cfg, jax.random.PRNGKey(cfg.system.random_seed))
+    tx = make_optimizer(cfg, state.params, iters_per_epoch)
+    state = state.replace(opt_state=tx.init(state.params))
+    if args.init:
+        if args.init.endswith(".pth"):
+            imported = import_torch_checkpoint(args.init, args.stage)
+            params = dict(state.params)
+            if "alpha" in imported:
+                params["fba"] = imported["alpha"]["params"]
+            if "trimap" in imported:
+                params["stm"] = imported["trimap"]["params"]
+                bs = imported["trimap"].get("batch_stats", state.batch_stats)
+                state = state.replace(batch_stats=bs)
+            state = state.replace(params=params, opt_state=tx.init(params))
+        else:
+            state = restore_train_state(args.init, state)
+    if args.resume:
+        state = restore_train_state(args.resume, state)
+        logger.info(f"resumed at step {int(state.step)}")
+
+    train_step = make_train_step(cfg, tx)
+    per_proc_batch = cfg.train.batch_size // jax.process_count()
+    loss_meter = AverageMeter()
+    timer = StepTimer()
+
+    total_epochs = 1 if cfg.system.testmode else cfg.train.total_epochs
+    for epoch in range(total_epochs):
+        if args.stage == 4:
+            dataset.max_skip = vm108_max_skip_for_epoch(epoch, cfg.train.total_epochs)
+        idx = epoch_indices(len(dataset), epoch, args.repeats,
+                            cfg.system.random_seed,
+                            jax.process_index(), jax.process_count())
+        loader = Loader(dataset, idx, per_proc_batch,
+                        seed=cfg.system.random_seed + epoch,
+                        num_threads=cfg.system.num_workers)
+        for i, batch in enumerate(loader):
+            if cfg.system.testmode and i > 20:
+                break
+            batch = shard_batch(mesh, batch)
+            state, metrics = train_step(state, batch)
+            loss = float(metrics["loss"])
+            loss_meter.update(loss)
+            dt = timer.tick()
+            if i % 50 == 0 and jax.process_index() == 0:
+                logger.info(f"E{epoch} I{i} loss {loss:.4f} ({loss_meter.avg:.4f}) "
+                            f"{dt*1000:.0f} ms/it")
+        if jax.process_index() == 0 and (
+                (epoch + 1) % cfg.train.save_every_epoch == 0
+                or epoch == total_epochs - 1):
+            save_train_state(os.path.join(run_dir, f"ckpt_e{epoch + 1}"), state)
+            save_train_state(os.path.join("weights", model_name), state)
+            logger.info(f"saved checkpoint at epoch {epoch + 1}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""Stage-1 trimap (STM) pretraining entry point (parity with reference
+train_s1_trimap.py: STM-only CE training on DIM clips, optional
+STM_weights.pth init)."""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train OTVM-TPU stage-1 trimap")
+    p.add_argument("--data-root", type=str, default=None)
+    p.add_argument("--testmode", action="store_true")
+    p.add_argument("--init", type=str, default=None,
+                   help="STM_weights.pth (module.-prefixed) or orbax dir")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--repeats", type=int, default=20)
+    return p.parse_args()
+
+
+def main():
+    import jax
+
+    from otvm_tpu.config import get_cfg_defaults
+    from otvm_tpu.data.datasets import DIMTrain
+    from otvm_tpu.data.loader import Loader, epoch_indices
+    from otvm_tpu.parallel.mesh import init_distributed, make_mesh, shard_batch
+    from otvm_tpu.train.trainer import (init_train_state, make_optimizer,
+                                        make_trimap_s1_train_step)
+    from otvm_tpu.utils.checkpoint import import_torch_checkpoint, save_train_state
+    from otvm_tpu.utils.logging import AverageMeter, create_logger
+
+    args = parse_args()
+    cfg = get_cfg_defaults()
+    cfg.train.stage = 1
+    if args.data_root:
+        cfg.dataset.path = args.data_root
+    if args.testmode:
+        cfg.system.testmode = True
+    if args.epochs:
+        cfg.train.total_epochs = args.epochs
+    if args.batch_size:
+        cfg.train.batch_size = args.batch_size
+
+    init_distributed()
+    mesh = make_mesh()
+    logger, run_dir = create_logger(cfg.system.outdir, "s1_OTVM_trimap")
+
+    dataset = DIMTrain.from_adobe_layout(cfg.dataset.path,
+                                         image_shape=cfg.train.train_input_size,
+                                         sample_length=cfg.train.frame_num)
+    iters_per_epoch = max(len(dataset) * args.repeats // cfg.train.batch_size, 1)
+
+    state = init_train_state(cfg, jax.random.PRNGKey(cfg.system.random_seed))
+    tx = make_optimizer(cfg, state.params, iters_per_epoch)
+    state = state.replace(opt_state=tx.init(state.params))
+    if args.init and args.init.endswith(".pth"):
+        imported = import_torch_checkpoint(args.init, 1)
+        params = dict(state.params)
+        params["stm"] = imported["trimap"]["params"]
+        state = state.replace(params=params,
+                              batch_stats=imported["trimap"].get(
+                                  "batch_stats", state.batch_stats),
+                              opt_state=tx.init(params))
+
+    train_step = make_trimap_s1_train_step(cfg, tx)
+    meter = AverageMeter()
+    per_proc_batch = cfg.train.batch_size // jax.process_count()
+    total_epochs = 1 if cfg.system.testmode else cfg.train.total_epochs
+
+    for epoch in range(total_epochs):
+        idx = epoch_indices(len(dataset), epoch, args.repeats,
+                            cfg.system.random_seed,
+                            jax.process_index(), jax.process_count())
+        loader = Loader(dataset, idx, per_proc_batch,
+                        seed=cfg.system.random_seed + epoch)
+        for i, sample in enumerate(loader):
+            if cfg.system.testmode and i > 20:
+                break
+            img = sample["fg"] * sample["alpha"] + sample["bg"] * (1 - sample["alpha"])
+            batch = shard_batch(mesh, dict(img=img, tri=sample["tri"]))
+            state, metrics = train_step(state, batch)
+            meter.update(float(metrics["loss"]))
+            if i % 50 == 0 and jax.process_index() == 0:
+                logger.info(f"E{epoch} I{i} CE {meter.val:.4f} ({meter.avg:.4f})")
+        if jax.process_index() == 0:
+            save_train_state(os.path.join("weights", "s1_OTVM_trimap"), state)
+
+
+if __name__ == "__main__":
+    main()
