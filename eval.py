@@ -81,7 +81,9 @@ def main():
             alphas, trimaps, fps = ev.run_video(
                 frames, vid["first_trimap"],
                 out_dir=os.path.join(outdir, "pred", vid["seq_name"]),
-                filenames=vid["filenames"])
+                filenames=vid["filenames"],
+                viz_dir=(os.path.join(outdir, "viz", vid["seq_name"])
+                         if args.viz else None))
             print(f"{vid['seq_name']}: {len(alphas)} frames @ {fps:.2f} fps")
     else:
         results = evaluate_vm108(ev, data_root, out_dir=os.path.join(outdir, "pred"),

@@ -169,6 +169,20 @@ def messddt(pred, target, mask=None):
     return err, num
 
 
+def trimap_iou(pred3: np.ndarray, gt3: np.ndarray) -> float:
+    """Mean 3-class IoU on trimap one-hots/probs [..., 3]
+    (train_s1_trimap.py:287-303 logs this during STM pretrain)."""
+    p = np.argmax(pred3, axis=-1)
+    g = np.argmax(gt3, axis=-1)
+    ious = []
+    for c in range(3):
+        inter = np.logical_and(p == c, g == c).sum()
+        union = np.logical_or(p == c, g == c).sum()
+        if union > 0:
+            ious.append(inter / union)
+    return float(np.mean(ious)) if ious else 1.0
+
+
 def video_metrics(pred, target, mask=None):
     """All 7 metrics for one clip -> dict of floats (frame-averaged; the
     ratio metrics follow the reference's sum(err)/sum(num) aggregation)."""

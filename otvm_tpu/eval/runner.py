@@ -86,7 +86,8 @@ class StreamingEvaluator:
     def run_video(self, frames01: Sequence[np.ndarray],
                   first_trimap3: np.ndarray,
                   out_dir: Optional[str] = None,
-                  filenames: Optional[Sequence[str]] = None
+                  filenames: Optional[Sequence[str]] = None,
+                  viz_dir: Optional[str] = None
                   ) -> Tuple[List[np.ndarray], List[np.ndarray], float]:
         """frames01: RGB [H,W,3] float in [0,1]; first_trimap3 [H,W,3]
         one-hot.  Returns (alphas, trimaps, fps)."""
@@ -126,6 +127,8 @@ class StreamingEvaluator:
                         if filenames else f"{i:05d}.png")
                 cv2.imwrite(os.path.join(out_dir, name),
                             (np.clip(a, 0, 1) * 255).astype(np.uint8))
+        if viz_dir is not None:
+            write_viz(viz_dir, frames01, trimaps, alphas)
         return alphas, trimaps, fps
 
     @staticmethod
@@ -133,6 +136,30 @@ class StreamingEvaluator:
         out, pad = pending
         alphas.append(_unpad(np.asarray(out.alpha[0, :, :, 0]), pad))
         trimaps.append(_unpad(np.asarray(out.trimap[0]), pad))
+
+
+def write_viz(viz_dir: str, frames01, trimaps, alphas, fps: int = 10) -> None:
+    """Per-frame [image | trimap | alpha | green-screen composite] strips +
+    an mp4 if ffmpeg exists (eval.py:96-115, 201-242 viz path)."""
+    import cv2
+
+    os.makedirs(viz_dir, exist_ok=True)
+    for i, (f, t, a) in enumerate(zip(frames01, trimaps, alphas)):
+        a3 = np.repeat(a[..., None], 3, axis=-1)
+        green = np.zeros_like(f)
+        green[..., 1] = 1.0
+        comp = f * a3 + green * (1 - a3)
+        strip = np.concatenate([f, t, a3, comp], axis=1)
+        cv2.imwrite(os.path.join(viz_dir, f"f{i:05d}.jpg"),
+                    (np.clip(strip[..., ::-1], 0, 1) * 255).astype(np.uint8))
+    import shutil
+    import subprocess
+    if shutil.which("ffmpeg"):
+        subprocess.run(
+            ["ffmpeg", "-framerate", str(fps), "-i",
+             os.path.join(viz_dir, "f%05d.jpg"),
+             os.path.join(viz_dir, "viz.mp4"), "-nostats", "-loglevel", "0", "-y"],
+            check=False)
 
 
 # ---------------------------------------------------------------------------

@@ -74,7 +74,8 @@ class EvalOutput(NamedTuple):
     trimap: jnp.ndarray    # [B, H, W, 3]
 
 
-@functools.partial(jax.jit, static_argnames=("stage", "max_memory_num", "exact_edt"))
+@functools.partial(jax.jit, static_argnames=("stage", "max_memory_num", "exact_edt"),
+                   donate_argnums=(2,))
 def eval_frame_step(stm_vars, fba_vars, bank: MemoryBank,
                     frame01: jnp.ndarray, first_trimap3: jnp.ndarray,
                     first_frame: jnp.ndarray, memorize: jnp.ndarray,
@@ -122,11 +123,56 @@ def eval_frame_step(stm_vars, fba_vars, bank: MemoryBank,
     return EvalOutput(bank, alpha, out_trimap)
 
 
-def make_eval_bank(batch: int, height: int, width: int, max_memory_num: int = 5
-                   ) -> MemoryBank:
+def make_eval_bank(batch: int, height: int, width: int, max_memory_num: int = 5,
+                   dtype=jnp.float32) -> MemoryBank:
     """Bank sized for /16 feature maps of a (padded) H x W frame."""
     assert height % 16 == 0 and width % 16 == 0
-    return init_bank(batch, (height // 16) * (width // 16), max_memory_num)
+    return init_bank(batch, (height // 16) * (width // 16), max_memory_num, dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("stage", "exact_edt"))
+def alpha_predict(fba_vars, frame01: jnp.ndarray, trimap3: jnp.ndarray,
+                  stage: int = 1, exact_edt: bool = False):
+    """Single-frame FBA alpha prediction with a GIVEN trimap — the stage-1/2
+    eval path (alpha EvalModel with trimap=None, models/alpha/model.py:419,
+    456-457) and BASELINE config[0].  Returns (alpha [B,H,W,1], fba7)."""
+    _, fba, refinement = _models(stage)
+    feats8, _ = make_trimap_features(trimap3, exact_edt)
+    x11 = jnp.concatenate([normalize_image(frame01), feats8], axis=-1)
+    out7, hid, rout7, _ = fba.apply(fba_vars, x11, frame01, feats8[..., -2:])
+    pred = rout7 if refinement else out7
+    return pred[..., 0:1], pred
+
+
+@functools.partial(jax.jit, static_argnames=("max_memory_num", "memorize_gt"),
+                   donate_argnums=(1,))
+def trimap_eval_step(stm_vars, bank: MemoryBank, frame01: jnp.ndarray,
+                     first_trimap3: jnp.ndarray, first_frame: jnp.ndarray,
+                     memorize: jnp.ndarray, max_memory_num: int = 5,
+                     memorize_gt: bool = False):
+    """Trimap-propagation-only streaming eval (trimap FullModel_eval stage 1,
+    models/trimap/model.py:173-281): segment with the current bank, then
+    memorize the PREDICTED (or GT when memorize_gt) trimap of this frame.
+
+    Returns (bank, trimap3).  With memorize_gt the overflow eviction drops
+    slot 0 instead of keeping it (model.py:215-221)."""
+    stm = STM(hdim=-1)
+
+    def use_gt(_):
+        return first_trimap3
+
+    def do_segment(_):
+        logits = stm.apply(stm_vars, frame01, bank.keys, bank.values,
+                           bank.slot_mask, method=STM.segment)
+        return jax.nn.softmax(logits, axis=-1)
+
+    pred = jax.lax.cond(first_frame, use_gt, do_segment, None)
+    mem_tri = first_trimap3 if memorize_gt else pred
+    k, v = stm.apply(stm_vars, frame01, mem_tri[..., 1], mem_tri[..., 2],
+                     method=STM.memorize)
+    bank = update_bank(bank, k, v, first_frame, memorize, max_memory_num,
+                       keep_first=not memorize_gt)
+    return bank, pred
 
 
 # ---------------------------------------------------------------------------

@@ -72,6 +72,12 @@ def main():
     logger, run_dir = create_logger(cfg.system.outdir, model_name)
     logger.info(f"stage {args.stage} | devices {jax.device_count()} "
                 f"| global batch {cfg.train.batch_size}")
+    # cfg snapshot in the run dir (train.py:76-77)
+    import dataclasses
+
+    import yaml
+    with open(os.path.join(run_dir, "config.yaml"), "w") as f:
+        yaml.safe_dump(dataclasses.asdict(cfg), f)
 
     # dataset
     hw = cfg.train.train_input_size
