@@ -282,6 +282,10 @@ def joint_train_forward(stm_vars, fba_vars, batch: Dict[str, jnp.ndarray],
         total = total + loss_trimap
     aux = dict(L_alpha_comp=L_alpha_comp, L_lap=L_lap, L_grad=L_grad,
                L_tri=loss_trimap, alphas=alphas, comps=comps)
+    if use_trimap_net:
+        aux["logit_trimap"] = jnp.stack(logit_trimap, axis=1)
+        if refinement:
+            aux["logit_trimap_refine"] = jnp.stack(logit_trimap_refine, axis=1)
     return total, aux
 
 

@@ -62,22 +62,28 @@ def load_reference():
     return _loaded
 
 
-def seeded_torch_model(builder, seed: int = 0):
+def seeded_torch_model(builder, seed: int = 0, tame: bool = False):
     """Instantiate a torch model with deterministic random init, eval mode.
 
     BN running stats are randomized too (so FrozenBatchNorm conversion is
-    actually exercised, not tested against mean=0/var=1)."""
+    actually exercised, not tested against mean=0/var=1).
+
+    tame=True uses smaller weights and unit BN stats: deep random nets with
+    std-0.05 weights amplify fp32 noise chaotically (trimap logits reach
+    O(100) and saturate), which makes raw-logit comparisons meaningless for
+    multi-network cross-feeding tests — tame keeps activations O(1)."""
     import torch
 
     torch.manual_seed(seed)
     model = builder()
     with torch.no_grad():
+        std = 0.02 if tame else 0.05
         for name, p in model.named_parameters():
-            p.copy_(torch.randn_like(p) * 0.05)
+            p.copy_(torch.randn_like(p) * std)
         for name, b in model.named_buffers():
             if name.endswith("running_mean"):
-                b.copy_(torch.randn_like(b) * 0.1)
+                b.zero_() if tame else b.copy_(torch.randn_like(b) * 0.1)
             elif name.endswith("running_var"):
-                b.copy_(torch.rand_like(b) * 0.5 + 0.75)
+                b.fill_(1.0) if tame else b.copy_(torch.rand_like(b) * 0.5 + 0.75)
     model.eval()
     return model
