@@ -110,7 +110,15 @@ def const_schedule(base_lr: float, total_iters: int = 0):
 SCHEDULES = {"stair": stair_schedule, "poly": poly_schedule, "const": const_schedule}
 
 
-def masked(tx: optax.GradientTransformation, mask) -> optax.GradientTransformation:
+def freeze_masked(tx: optax.GradientTransformation, trainable_mask
+                  ) -> optax.GradientTransformation:
     """Zero updates for frozen subtrees (the JAX answer to the reference's
-    param-group filters, train.py:146-168)."""
-    return optax.masked(tx, mask)
+    param-group filters, train.py:146-168).
+
+    NOTE: optax.masked alone is WRONG for freezing — unmasked leaves pass
+    their raw gradients through as updates.  multi_transform routes frozen
+    leaves to set_to_zero instead."""
+    labels = jax.tree_util.tree_map(
+        lambda m: "train" if m else "freeze", trainable_mask)
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()}, labels)

@@ -62,7 +62,8 @@ def make_optimizer(cfg: Config, params, iters_per_epoch: int):
     schedule = SCHEDULES[cfg.train.lr_strategy](cfg.train.base_lr, total_iters)
     tx = radam(schedule, weight_decay=cfg.train.weight_decay)
     if cfg.train.stage in (2, 3):
-        tx = optax.masked(tx, stage_trainable_mask(params, cfg.train.stage))
+        from .optim import freeze_masked
+        tx = freeze_masked(tx, stage_trainable_mask(params, cfg.train.stage))
     return tx
 
 
@@ -93,6 +94,22 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation):
         return TrainState(params, state.batch_stats, opt_state, state.step + 1), metrics
 
     return train_step
+
+
+def make_viz_forward(cfg: Config):
+    """Forward-only pass returning visual tensors (alphas/comps) for the
+    periodic training-image grids (train.py:255-275).  Compiled separately
+    so the hot train step never materializes visuals."""
+    stage = cfg.train.stage
+
+    @jax.jit
+    def viz_forward(state: TrainState, batch):
+        stm_vars = {"params": state.params["stm"], "batch_stats": state.batch_stats}
+        fba_vars = {"params": state.params["fba"]}
+        _, aux = joint_train_forward(stm_vars, fba_vars, batch, stage)
+        return dict(alphas=aux["alphas"], comps=aux["comps"])
+
+    return viz_forward
 
 
 def make_trimap_s1_train_step(cfg: Config, tx: optax.GradientTransformation):

@@ -27,8 +27,10 @@ def test_stage_masks():
 
 
 def test_masked_radam_freezes_subtree():
+    from otvm_tpu.train.optim import freeze_masked
+
     params = _fake_params()
-    tx = optax.masked(radam(1e-2), stage_trainable_mask(params, 2))
+    tx = freeze_masked(radam(1e-2), stage_trainable_mask(params, 2))
     state = tx.init(params)
     grads = jax.tree_util.tree_map(jnp.ones_like, params)
     for _ in range(8):  # past rectification onset

@@ -124,12 +124,22 @@ def main():
         loader = Loader(dataset, idx, per_proc_batch,
                         seed=cfg.system.random_seed + epoch,
                         num_threads=cfg.system.num_workers)
+        image_freq = cfg.train.image_freq if cfg.train.image_freq > 0 else None
         for i, batch in enumerate(loader):
             if cfg.system.testmode and i > 20:
                 break
+            host_batch = batch
             batch = shard_batch(mesh, batch)
             state, metrics = train_step(state, batch)
             loss = float(metrics["loss"])
+            if image_freq and i % image_freq == 0 and jax.process_index() == 0:
+                from otvm_tpu.train.trainer import make_viz_forward
+                from otvm_tpu.utils.viz import save_train_grid
+                if not hasattr(main, "_viz_fwd"):
+                    main._viz_fwd = make_viz_forward(cfg)
+                save_train_grid(os.path.join(run_dir, "images",
+                                             f"e{epoch}_i{i}.jpg"),
+                                host_batch, main._viz_fwd(state, batch))
             loss_meter.update(loss)
             dt = timer.tick()
             if i % 50 == 0 and jax.process_index() == 0:
