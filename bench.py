@@ -22,7 +22,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-H, W = 512, 512
+H, W = (int(x) for x in os.environ.get("BENCH_RES", "512x512").split("x"))
 N_WARMUP = 3
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "60"))
 MAX_MEM = 5
@@ -80,8 +80,10 @@ def main():
     dt = time.perf_counter() - t0
     fps = N_FRAMES / dt
 
+    metric = ("fps_512p_joint_s4" if (H, W) == (512, 512)
+              else f"fps_{H}x{W}_joint_s4")
     print(json.dumps({
-        "metric": "fps_512p_joint_s4",
+        "metric": metric,
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 4),
