@@ -162,12 +162,61 @@ def memory_read_pallas(q_k: jnp.ndarray, m_k: jnp.ndarray, m_v: jnp.ndarray,
     return out[:, :hw, :]
 
 
+# ---------------------------------------------------------------------------
+# differentiable wrapper: flash forward, einsum backward
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _memory_read_flash(q_k, m_k, m_v, slot_mask):
+    return memory_read_pallas(q_k, m_k, m_v, slot_mask)
+
+
+def _flash_fwd(q_k, m_k, m_v, slot_mask):
+    return memory_read_pallas(q_k, m_k, m_v, slot_mask), (q_k, m_k, m_v, slot_mask)
+
+
+def _flash_bwd(res, g):
+    """Exact softmax-attention VJP via the einsum formulation.  Training
+    shapes are small (HW/256 of 320p crops, T <= 2), so materializing the
+    score matrix in the backward pass is cheap; the flash kernel still runs
+    the forward."""
+    q_k, m_k, m_v, slot_mask = res
+    ck = q_k.shape[-1]
+    k, v, mask = _flatten_bank(m_k, m_v, slot_mask)
+    scale = 1.0 / math.sqrt(ck)
+    s = jnp.einsum("bqc,bkc->bqk", q_k, k,
+                   preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        s = jnp.where(mask[:, None, :], s, _NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    g32 = g.astype(jnp.float32)
+    dv = jnp.einsum("bqk,bqv->bkv", p, g32)
+    dp = jnp.einsum("bqv,bkv->bqk", g32, v.astype(jnp.float32))
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bqk,bkc->bqc", ds, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bqk,bqc->bkc", ds, q_k.astype(jnp.float32)) * scale
+    b, t, hw, _ = m_k.shape
+    d_mask = None
+    if slot_mask is not None:
+        import numpy as np
+
+        d_mask = np.zeros(slot_mask.shape, dtype=jax.dtypes.float0)
+    return (dq.astype(q_k.dtype),
+            dk.reshape(m_k.shape).astype(m_k.dtype),
+            dv.reshape(m_v.shape).astype(m_v.dtype),
+            d_mask)
+
+
+_memory_read_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
 def memory_read(q_k: jnp.ndarray, m_k: jnp.ndarray, m_v: jnp.ndarray,
                 slot_mask: Optional[jnp.ndarray] = None,
                 use_pallas: Optional[bool] = None) -> jnp.ndarray:
-    """Dispatching entry point: Pallas on TPU, XLA einsum elsewhere."""
+    """Dispatching entry point: Pallas on TPU, XLA einsum elsewhere.
+    Differentiable either way (the flash path carries a custom einsum VJP)."""
     if use_pallas is None:
         use_pallas = jax.default_backend().startswith("tpu")
     if use_pallas:
-        return memory_read_pallas(q_k, m_k, m_v, slot_mask)
+        return _memory_read_flash(q_k, m_k, m_v, slot_mask)
     return memory_read_xla(q_k, m_k, m_v, slot_mask)
