@@ -73,7 +73,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, acc_ref, m_ref, l_ref,
 
     q_ref:   [1, BQ, Ck]     (same Q tile for every kv step)
     k_ref:   [1, BK, Ck]     v_ref: [1, BK, Cv]
-    mask_ref:[1, BK]         bool validity per memory position
+    mask_ref:[1, 1, BK]      bool validity per memory position
     o_ref:   [1, BQ, Cv]     written on the last kv step
     scratch: acc [BQ, Cv] f32, m [BQ, 128] f32 running max, l [BQ, 128] f32.
     """
@@ -91,7 +91,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, acc_ref, m_ref, l_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale  # [BQ, BK]
-    valid = mask_ref[0]                              # [BK]
+    valid = mask_ref[0, 0]                           # [BK]
     s = jnp.where(valid[None, :], s, _NEG_INF)
 
     m_prev = m_ref[:, :1]                            # [BQ, 1]
@@ -134,7 +134,9 @@ def memory_read_pallas(q_k: jnp.ndarray, m_k: jnp.ndarray, m_v: jnp.ndarray,
     qk = jnp.pad(q_k, ((0, 0), (0, q_pad - hw), (0, 0)))
     kp = jnp.pad(k, ((0, 0), (0, kv_pad - kv_len), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, kv_pad - kv_len), (0, 0)))
-    mp = jnp.pad(mask, ((0, 0), (0, kv_pad - kv_len)))
+    # [B, 1, KV]: the singleton keeps the (sublane, lane) block dims legal
+    # for any batch size (last-two-dims rule of the TPU lowering)
+    mp = jnp.pad(mask, ((0, 0), (0, kv_pad - kv_len)))[:, None, :]
 
     q_blocks = q_pad // block_q
     kv_blocks = kv_pad // block_kv
@@ -147,7 +149,7 @@ def memory_read_pallas(q_k: jnp.ndarray, m_k: jnp.ndarray, m_v: jnp.ndarray,
             pl.BlockSpec((1, block_q, ck), lambda ib, iq, ik: (ib, iq, 0)),
             pl.BlockSpec((1, block_kv, ck), lambda ib, iq, ik: (ib, ik, 0)),
             pl.BlockSpec((1, block_kv, cv), lambda ib, iq, ik: (ib, ik, 0)),
-            pl.BlockSpec((1, block_kv), lambda ib, iq, ik: (ib, ik)),
+            pl.BlockSpec((1, 1, block_kv), lambda ib, iq, ik: (ib, 0, ik)),
         ],
         out_specs=pl.BlockSpec((1, block_q, cv), lambda ib, iq, ik: (ib, iq, 0)),
         out_shape=jax.ShapeDtypeStruct((b, q_pad, cv), q_k.dtype),
