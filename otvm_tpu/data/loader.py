@@ -60,6 +60,7 @@ class Loader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        error = []
 
         def worker():
             try:
@@ -75,6 +76,8 @@ class Loader:
                         batch = []
                 if batch and not self.drop_last:
                     q.put(_collate(batch))
+            except BaseException as e:  # propagate to the consumer
+                error.append(e)
             finally:
                 q.put(None)
 
@@ -86,5 +89,7 @@ class Loader:
                 if item is None:
                     break
                 yield item
+            if error:
+                raise error[0]
         finally:
             stop.set()

@@ -30,49 +30,55 @@ _BIG = jnp.float32(1e12)
 _SIGMAS = (0.02 * 320.0, 0.08 * 320.0, 0.16 * 320.0)
 
 
-def _shift2d(x: jnp.ndarray, dy: int, dx: int, fill):
-    """Shift [..., H, W] by (dy, dx), filling vacated cells with `fill`."""
-    h, w = x.shape[-2], x.shape[-1]
-    pad = [(0, 0)] * (x.ndim - 2) + [(max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0))]
-    y = jnp.pad(x, pad, constant_values=fill)
-    sl = [slice(None)] * (x.ndim - 2)
-    sl += [slice(max(-dy, 0), max(-dy, 0) + h), slice(max(-dx, 0), max(-dx, 0) + w)]
-    return y[tuple(sl)]
-
-
 @functools.partial(jax.jit, static_argnames=())
 def edt_sq_jfa(seeds: jnp.ndarray) -> jnp.ndarray:
-    """Squared EDT to the nearest True pixel.  seeds: [H, W] bool -> f32."""
+    """Squared EDT to the nearest True pixel.  seeds: [H, W] bool -> f32.
+
+    1+JFA expressed as a lax.fori_loop over step sizes with dynamic-shift
+    rolls (wrapped entries masked invalid): the traced body is ~50 ops, so
+    compile time is flat in image size on every backend — the naive fully
+    unrolled shift pyramid made the single-threaded CPU XLA backend take
+    tens of minutes."""
     h, w = seeds.shape
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    sy = jnp.where(seeds, yy, -1)
-    sx = jnp.where(seeds, xx, -1)
+    sy0 = jnp.where(seeds, yy, -1)
+    sx0 = jnp.where(seeds, xx, -1)
 
     def dist2(cy, cx):
         d = (yy - cy).astype(jnp.float32) ** 2 + (xx - cx).astype(jnp.float32) ** 2
         return jnp.where(cy >= 0, d, _BIG)
 
-    steps = [1]
-    k = 1 << max(int(np.ceil(np.log2(max(h, w, 2)))) - 1, 0)
-    while k >= 1:
-        steps.append(k)
-        k //= 2
-    steps.append(1)  # final clean-up pass
+    n = max(int(np.ceil(np.log2(max(h, w, 2)))), 1)
+    # step schedule: 1 (pre-pass), 2^(n-1) ... 1, 1 (clean-up)
+    ks = jnp.asarray([1] + [1 << (n - 1 - j) for j in range(n)] + [1],
+                     dtype=jnp.int32)
 
-    for k in steps:
+    def body(j, carry):
+        sy, sx = carry
+        k = ks[j]
         best = dist2(sy, sx)
-        for dy in (-k, 0, k):
-            for dx in (-k, 0, k):
-                if dy == 0 and dx == 0:
+        for sy_sign in (-1, 0, 1):
+            for sx_sign in (-1, 0, 1):
+                if sy_sign == 0 and sx_sign == 0:
                     continue
-                cy = _shift2d(sy, dy, dx, -1)
-                cx = _shift2d(sx, dy, dx, -1)
+                dy, dx = k * sy_sign, k * sx_sign
+                cy = jnp.roll(sy, (dy, dx), axis=(0, 1))
+                cx = jnp.roll(sx, (dy, dx), axis=(0, 1))
+                # entries whose source wrapped around are invalid
+                src_y = yy - dy
+                src_x = xx - dx
+                valid = ((src_y >= 0) & (src_y < h) & (src_x >= 0) & (src_x < w))
+                cy = jnp.where(valid, cy, -1)
+                cx = jnp.where(valid, cx, -1)
                 d = dist2(cy, cx)
                 take = d < best
                 best = jnp.where(take, d, best)
                 sy = jnp.where(take, cy, sy)
                 sx = jnp.where(take, cx, sx)
+        return sy, sx
+
+    sy, sx = jax.lax.fori_loop(0, ks.shape[0], body, (sy0, sx0))
     return dist2(sy, sx)
 
 
