@@ -23,6 +23,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 H, W = (int(x) for x in os.environ.get("BENCH_RES", "512x512").split("x"))
+B = int(os.environ.get("BENCH_BATCH", "1"))  # concurrent video streams
 N_WARMUP = 3
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "60"))
 MAX_MEM = 5
@@ -47,15 +48,15 @@ def main():
     stm_vars = cast({"params": state.params["stm"], "batch_stats": state.batch_stats})
     fba_vars = cast({"params": state.params["fba"]})
 
-    bank = init_bank(1, (H // 16) * (W // 16), MAX_MEM, dtype=dtype)
+    bank = init_bank(B, (H // 16) * (W // 16), MAX_MEM, dtype=dtype)
     rng = np.random.RandomState(0)
-    frames = [jnp.asarray(rng.rand(1, H, W, 3), dtype) for _ in range(4)]
-    tri = np.zeros((1, H, W, 3), np.float32)
+    frames = [jnp.asarray(rng.rand(B, H, W, 3), dtype) for _ in range(4)]
+    tri = np.zeros((B, H, W, 3), np.float32)
     tri[..., 0] = 1.0
-    tri[0, H // 4:-H // 4, W // 4:-W // 4, 0] = 0.0
-    tri[0, H // 4:-H // 4, W // 4:-W // 4, 1] = 1.0
-    tri[0, 3 * H // 8:-3 * H // 8, 3 * W // 8:-3 * W // 8, 1] = 0.0
-    tri[0, 3 * H // 8:-3 * H // 8, 3 * W // 8:-3 * W // 8, 2] = 1.0
+    tri[:, H // 4:-H // 4, W // 4:-W // 4, 0] = 0.0
+    tri[:, H // 4:-H // 4, W // 4:-W // 4, 1] = 1.0
+    tri[:, 3 * H // 8:-3 * H // 8, 3 * W // 8:-3 * W // 8, 1] = 0.0
+    tri[:, 3 * H // 8:-3 * H // 8, 3 * W // 8:-3 * W // 8, 2] = 1.0
     first_tri = jnp.asarray(tri, dtype)
 
     def step(bank, frame, first, mem, last):
@@ -78,10 +79,10 @@ def main():
         bank = out.bank
     jax.block_until_ready(out.alpha)
     dt = time.perf_counter() - t0
-    fps = N_FRAMES / dt
+    fps = N_FRAMES * B / dt
 
-    metric = ("fps_512p_joint_s4" if (H, W) == (512, 512)
-              else f"fps_{H}x{W}_joint_s4")
+    metric = ("fps_512p_joint_s4" if (H, W) == (512, 512) and B == 1
+              else f"fps_{H}x{W}_b{B}_joint_s4")
     print(json.dumps({
         "metric": metric,
         "value": round(fps, 3),
