@@ -44,6 +44,41 @@ def save_train_state(path: str, state) -> None:
                            opt_state=state.opt_state, step=state.step))
 
 
+def _merge_into(template, loaded, path="", missing=None):
+    """Tolerant merge: loaded values where present, template (fresh init)
+    elsewhere — the stage loader's missing/unexpected-keys behavior
+    (train.py:95-117): e.g. s3 adds refine + conv1_a/h params that an s2
+    checkpoint doesn't have."""
+    if missing is None:
+        missing = []
+    if isinstance(template, dict):
+        out = {}
+        for k, v in template.items():
+            if isinstance(loaded, dict) and k in loaded:
+                out[k] = _merge_into(v, loaded[k], f"{path}/{k}", missing)
+            else:
+                missing.append(f"{path}/{k}")
+                out[k] = v
+        return out
+    return loaded
+
+
+def restore_params_only(path: str, template):
+    """Load params + batch_stats from a train-state checkpoint, ignoring the
+    optimizer state — the stage-chaining init path (each stage builds a
+    fresh optimizer, and stage 2/3 optimizers have a different masked
+    structure than stage 1/4)."""
+    tree = restore_pytree(path)  # raw dict, no structure enforcement
+    missing: list = []
+    params = _merge_into(template.params, tree.get("params", {}), "params", missing)
+    stats = _merge_into(template.batch_stats, tree.get("batch_stats", {}),
+                        "batch_stats", missing)
+    if missing:
+        print(f"[checkpoint] {len(missing)} keys not in {path}, keeping fresh "
+              f"init (first: {missing[:4]})")
+    return template.replace(params=params, batch_stats=stats)
+
+
 def restore_train_state(path: str, template):
     """template: a TrainState with the right structure (fresh init)."""
     tree = restore_pytree(path, dict(params=template.params,

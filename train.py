@@ -53,6 +53,7 @@ def main():
     from otvm_tpu.train.trainer import (init_train_state, make_optimizer,
                                         make_train_step, run_epoch)
     from otvm_tpu.utils.checkpoint import (import_torch_checkpoint,
+                                           restore_params_only,
                                            restore_train_state, save_train_state)
     from otvm_tpu.utils.logging import AverageMeter, StepTimer, create_logger
 
@@ -108,7 +109,9 @@ def main():
                 state = state.replace(batch_stats=bs)
             state = state.replace(params=params, opt_state=tx.init(params))
         else:
-            state = restore_train_state(args.init, state)
+            # prior-stage orbax checkpoint: params only, fresh optimizer
+            state = restore_params_only(args.init, state)
+            state = state.replace(opt_state=tx.init(state.params))
     if args.resume:
         state = restore_train_state(args.resume, state)
         logger.info(f"resumed at step {int(state.step)}")
