@@ -28,6 +28,8 @@ def parse_args():
     p.add_argument("--outdir", type=str, default=None)
     p.add_argument("--max-videos", type=int, default=None)
     p.add_argument("--testmode", action="store_true")
+    p.add_argument("--max-edge", type=int, default=None,
+                   help="downscale frames so min(H,W) <= this (testmode: 256)")
     return p.parse_args()
 
 
@@ -36,7 +38,8 @@ def load_weights(path, stage=4):
 
     from otvm_tpu.config import get_cfg_defaults
     from otvm_tpu.train.trainer import init_train_state
-    from otvm_tpu.utils.checkpoint import import_torch_checkpoint, restore_train_state
+    from otvm_tpu.utils.checkpoint import (import_torch_checkpoint,
+                                           restore_params_only)
 
     cfg = get_cfg_defaults()
     cfg.train.stage = stage
@@ -49,7 +52,8 @@ def load_weights(path, stage=4):
         alpha_vars = imported["alpha"]
         return trimap_vars, alpha_vars
     else:
-        state = restore_train_state(path, state)
+        # train-state checkpoint: params only (opt_state irrelevant for eval)
+        state = restore_params_only(path, state)
     trimap_vars = {"params": state.params["stm"], "batch_stats": state.batch_stats}
     alpha_vars = {"params": state.params["fba"]}
     return trimap_vars, alpha_vars
@@ -73,11 +77,29 @@ def main():
                             trimap_width=args.trimap)
     ev = StreamingEvaluator(trimap_vars, alpha_vars, protocol)
 
+    max_edge = args.max_edge or (256 if args.testmode else None)
+
+    def downscale(frames, tri):
+        if max_edge is None:
+            return frames, tri
+        import cv2
+        h, w = frames[0].shape[:2]
+        s = max_edge / min(h, w)
+        if s >= 1:
+            return frames, tri
+        size = (int(w * s), int(h * s))
+        frames = [cv2.resize(f, size) for f in frames]
+        lbl = cv2.resize(tri.argmax(-1).astype("uint8"), size,
+                         interpolation=cv2.INTER_NEAREST)
+        import numpy as np
+        return frames, np.eye(3, dtype=np.float32)[lbl]
+
     if args.demo:
         for vid in iter_demo_videos(data_root):
             frames = vid["frames"]
             if args.testmode:
                 frames = frames[:4]
+            frames, vid["first_trimap"] = downscale(frames, vid["first_trimap"])
             alphas, trimaps, fps = ev.run_video(
                 frames, vid["first_trimap"],
                 out_dir=os.path.join(outdir, "pred", vid["seq_name"]),
