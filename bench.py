@@ -33,6 +33,9 @@ DTYPE = os.environ.get("BENCH_DTYPE", "bf16")
 
 
 def main():
+    from otvm_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from otvm_tpu.models.memory import init_bank
     from otvm_tpu.models.otvm import eval_frame_step
     from otvm_tpu.train.trainer import init_train_state

@@ -21,6 +21,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def parse_args():
     p = argparse.ArgumentParser(description="Evaluate OTVM-TPU")
     p.add_argument("--trimap", default="medium", choices=["narrow", "medium", "wide"])
+    p.add_argument("--stage", type=int, default=4, choices=[1, 2, 3, 4],
+                   help="checkpoint stage: 1/2 = alpha with GIVEN trimaps "
+                        "(no trimap net), 3/4 = joint streaming")
+    p.add_argument("--trimap-net", action="store_true",
+                   help="evaluate trimap propagation only "
+                        "(s1_OTVM_trimap checkpoints); reports IoU on VM108")
     p.add_argument("--demo", action="store_true")
     p.add_argument("--viz", action="store_true")
     p.add_argument("--data-root", type=str, default=None)
@@ -60,21 +66,44 @@ def load_weights(path, stage=4):
 
 
 def main():
-    from otvm_tpu.config import get_cfg_defaults
+    from otvm_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    from otvm_tpu.config import MODEL_NAMES, get_cfg_defaults
     from otvm_tpu.eval.runner import (EvalProtocol, StreamingEvaluator,
-                                      evaluate_vm108, iter_demo_videos)
+                                      TrimapEvaluator, evaluate_vm108,
+                                      evaluate_vm108_trimap, iter_demo_videos)
 
     args = parse_args()
     cfg = get_cfg_defaults()
     data_root = args.data_root or ("./demo" if args.demo else cfg.dataset.path)
+    model_name = ("s1_OTVM_trimap" if args.trimap_net
+                  else MODEL_NAMES[args.stage])
     outdir = args.outdir or ("./demo_results" if args.demo else
                              os.path.join(cfg.system.outdir, "alpha", "test",
-                                          args.trimap, "s4_OTVM"))
+                                          args.trimap, model_name))
 
-    trimap_vars, alpha_vars = load_weights(args.weights)
+    trimap_vars, alpha_vars = load_weights(
+        args.weights, stage=(1 if args.trimap_net else args.stage))
     protocol = EvalProtocol(memory_max_num=cfg.test.memory_max_num,
                             memory_skip_frame=cfg.test.memory_skip_frame,
-                            trimap_width=args.trimap)
+                            trimap_width=args.trimap, stage=args.stage)
+    if args.trimap_net:
+        tev = TrimapEvaluator(trimap_vars, protocol)
+        if args.demo:
+            for vid in iter_demo_videos(data_root):
+                frames = vid["frames"][:4] if args.testmode else vid["frames"]
+                trimaps, fps = tev.run_video(
+                    frames, vid["first_trimap"],
+                    out_dir=os.path.join(outdir, "pred_trimap", vid["seq_name"]),
+                    filenames=vid["filenames"])
+                print(f"{vid['seq_name']}: {len(trimaps)} trimaps @ {fps:.2f} fps")
+        else:
+            results = evaluate_vm108_trimap(
+                tev, data_root, out_dir=os.path.join(outdir, "pred_trimap"),
+                max_videos=(2 if args.testmode else args.max_videos))
+            print(json.dumps(results, indent=2))
+        return
     ev = StreamingEvaluator(trimap_vars, alpha_vars, protocol)
 
     max_edge = args.max_edge or (256 if args.testmode else None)

@@ -45,6 +45,8 @@ class TrainConfig:
 @dataclasses.dataclass
 class AlphaConfig:
     model: str = "fba"
+    arch: str = "resnet50_GN_WS"    # or 'resnet50_BN' (models.py:49-66);
+                                    # BN variant has no released weights
 
 
 @dataclasses.dataclass

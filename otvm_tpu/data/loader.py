@@ -34,11 +34,15 @@ def _collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
 
 
 class Loader:
-    """Iterable over collated batches with one background worker thread.
+    """Iterable over collated batches built by `num_threads` background
+    workers (the reference uses DataLoader(num_workers=8) per rank,
+    train.py:294-301).
 
-    (The environment driving this build is single-core; a thread that
-    overlaps decode/augment with device compute is the right amount of
-    machinery.  On a real host, raise `num_threads`.)"""
+    Determinism is thread-count invariant: every sample's augmentation RNG
+    is seeded by its GLOBAL position j in `indices` (not by which worker
+    picked it up), workers claim whole batches from an atomic counter, and
+    a reorder buffer yields batches strictly in order — N threads produce
+    byte-identical batches to 1 thread."""
 
     def __init__(self, dataset, indices: Sequence[int], batch_size: int,
                  seed: int = 0, num_threads: int = 1, drop_last: bool = True,
@@ -57,39 +61,67 @@ class Loader:
             n += 1
         return n
 
+    def _sample(self, j: int):
+        """Deterministic per-sample fetch: RNG keyed on the global sample
+        position j, identical regardless of which thread runs it."""
+        rnd = np.random.RandomState((self.seed * 1_000_003 + j) % (2 ** 31 - 1))
+        return self.dataset.__getitem__(int(self.indices[j]), rnd)
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
-        error = []
+        n_batches = len(self)
+        bs = self.batch_size
+        cond = threading.Condition()
+        results: Dict[int, Dict[str, np.ndarray]] = {}
+        error: List[BaseException] = []
+        next_claim = [0]      # next batch index a worker may take
+        next_yield = [0]      # next batch index the consumer wants
+        # workers stay within `prefetch` finished-but-unconsumed batches
+        # (plus one in flight per thread)
+        max_ahead = self.prefetch + self.num_threads
 
         def worker():
-            try:
-                batch = []
-                for j, idx in enumerate(self.indices):
-                    if stop.is_set():
-                        return
-                    rnd = np.random.RandomState(
-                        (self.seed * 1_000_003 + j) % (2 ** 31 - 1))
-                    batch.append(self.dataset.__getitem__(int(idx), rnd))
-                    if len(batch) == self.batch_size:
-                        q.put(_collate(batch))
-                        batch = []
-                if batch and not self.drop_last:
-                    q.put(_collate(batch))
-            except BaseException as e:  # propagate to the consumer
-                error.append(e)
-            finally:
-                q.put(None)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        try:
             while True:
-                item = q.get()
-                if item is None:
-                    break
+                with cond:
+                    if error or next_claim[0] >= n_batches:
+                        return
+                    while (next_claim[0] - next_yield[0] >= max_ahead
+                           and not error):
+                        cond.wait(0.05)
+                    if error or next_claim[0] >= n_batches:
+                        return
+                    i = next_claim[0]
+                    next_claim[0] += 1
+                try:
+                    lo = i * bs
+                    hi = min(lo + bs, len(self.indices))
+                    batch = _collate([self._sample(j) for j in range(lo, hi)])
+                except BaseException as e:  # propagate to the consumer
+                    with cond:
+                        error.append(e)
+                        cond.notify_all()
+                    return
+                with cond:
+                    results[i] = batch
+                    cond.notify_all()
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_threads)]
+        for t in threads:
+            t.start()
+        try:
+            for i in range(n_batches):
+                with cond:
+                    while i not in results and not error:
+                        cond.wait(0.05)
+                    if error:
+                        raise error[0]
+                    item = results.pop(i)
+                    next_yield[0] = i + 1
+                    cond.notify_all()
                 yield item
-            if error:
-                raise error[0]
         finally:
-            stop.set()
+            with cond:  # unblock + retire workers on early exit
+                if not error:
+                    error.append(GeneratorExit("loader closed"))
+                next_claim[0] = n_batches
+                cond.notify_all()

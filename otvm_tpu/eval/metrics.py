@@ -172,10 +172,13 @@ def messddt(pred, target, mask=None):
 def trimap_iou(pred3: np.ndarray, gt3: np.ndarray) -> float:
     """Mean 3-class IoU on trimap one-hots/probs [..., 3]
     (train_s1_trimap.py:287-303 logs this during STM pretrain)."""
-    p = np.argmax(pred3, axis=-1)
-    g = np.argmax(gt3, axis=-1)
+    return label_iou(np.argmax(pred3, axis=-1), np.argmax(gt3, axis=-1))
+
+
+def label_iou(p: np.ndarray, g: np.ndarray, n_classes: int = 3) -> float:
+    """Mean IoU over integer label maps (any shape)."""
     ious = []
-    for c in range(3):
+    for c in range(n_classes):
         inter = np.logical_and(p == c, g == c).sum()
         union = np.logical_or(p == c, g == c).sum()
         if union > 0:

@@ -27,7 +27,8 @@ import numpy as np
 
 from ..config import TRIMAP_WIDTH_KERNELS
 from ..data.trimap import trimap_from_alpha, trimap_from_png
-from ..models.otvm import eval_frame_step, make_eval_bank
+from ..models.otvm import (alpha_predict, eval_frame_step, make_eval_bank,
+                           trimap_eval_step)
 from ..nn.ops import divide_pad_amounts
 
 
@@ -87,10 +88,18 @@ class StreamingEvaluator:
                   first_trimap3: np.ndarray,
                   out_dir: Optional[str] = None,
                   filenames: Optional[Sequence[str]] = None,
-                  viz_dir: Optional[str] = None
+                  viz_dir: Optional[str] = None,
+                  gt_trimaps: Optional[Sequence[np.ndarray]] = None
                   ) -> Tuple[List[np.ndarray], List[np.ndarray], float]:
         """frames01: RGB [H,W,3] float in [0,1]; first_trimap3 [H,W,3]
-        one-hot.  Returns (alphas, trimaps, fps)."""
+        one-hot.  Returns (alphas, trimaps, fps).
+
+        protocol.stage <= 2 routes to the trimap-GIVEN path (no trimap net
+        in those checkpoints): per-frame `alpha_predict` with `gt_trimaps`
+        (reference stage-1/2 eval feeds the GT trimap every frame)."""
+        if self.protocol.stage <= 2:
+            return self._run_given_trimaps(frames01, first_trimap3, gt_trimaps,
+                                           out_dir, filenames, viz_dir)
         n = len(frames01)
         h, w = frames01[0].shape[:2]
         flags, max_num, _ = self.protocol.flags(n, h, w)
@@ -137,6 +146,78 @@ class StreamingEvaluator:
         alphas.append(_unpad(np.asarray(out.alpha[0, :, :, 0]), pad))
         trimaps.append(_unpad(np.asarray(out.trimap[0]), pad))
 
+    def _run_given_trimaps(self, frames01, first_trimap3, gt_trimaps,
+                           out_dir, filenames, viz_dir):
+        """Stage-1/2 eval: alpha from a GIVEN per-frame trimap
+        (models/alpha/model.py:419,456-457 with trimap net bypassed;
+        BASELINE config[0]).  Without per-frame trimaps only frame 0 (whose
+        trimap we have) is evaluated."""
+        tris = list(gt_trimaps) if gt_trimaps is not None else [first_trimap3]
+        n = min(len(frames01), len(tris))
+        alphas, trimaps = [], []
+        t_start = time.perf_counter()
+        for i in range(n):
+            f, t, pad = _pad_frame(frames01[i], tris[i])
+            alpha, _ = alpha_predict(self.alpha_vars, jnp.asarray(f[None]),
+                                     jnp.asarray(t[None]),
+                                     stage=self.protocol.stage)
+            alphas.append(_unpad(np.asarray(alpha[0, :, :, 0]), pad))
+            trimaps.append(tris[i])
+        fps = n / (time.perf_counter() - t_start)
+        if out_dir is not None:
+            import cv2
+            os.makedirs(out_dir, exist_ok=True)
+            for i, a in enumerate(alphas):
+                name = (os.path.splitext(filenames[i])[0] + ".png"
+                        if filenames else f"{i:05d}.png")
+                cv2.imwrite(os.path.join(out_dir, name),
+                            (np.clip(a, 0, 1) * 255).astype(np.uint8))
+        if viz_dir is not None:
+            write_viz(viz_dir, frames01[:n], trimaps, alphas)
+        return alphas, trimaps, fps
+
+
+class TrimapEvaluator:
+    """Trimap-propagation-only streaming eval (s1_OTVM_trimap checkpoints;
+    trimap FullModel_eval, models/trimap/model.py:173-281)."""
+
+    def __init__(self, stm_vars, protocol: EvalProtocol):
+        self.stm_vars = stm_vars
+        self.protocol = protocol
+
+    def run_video(self, frames01: Sequence[np.ndarray],
+                  first_trimap3: np.ndarray,
+                  out_dir: Optional[str] = None,
+                  filenames: Optional[Sequence[str]] = None
+                  ) -> Tuple[List[np.ndarray], float]:
+        n = len(frames01)
+        h, w = frames01[0].shape[:2]
+        flags, max_num, _ = self.protocol.flags(n, h, w)
+        f0, t0, pad = _pad_frame(frames01[0], first_trimap3)
+        ph, pw = f0.shape[:2]
+        bank = make_eval_bank(1, ph, pw, max_num)
+        first_tri_dev = jnp.asarray(t0[None])
+        trimaps = []
+        t_start = time.perf_counter()
+        for i in range(n):
+            f, _, pad = _pad_frame(frames01[i], None) if i else (f0, t0, pad)
+            first, memorize, _ = flags[i]
+            bank, pred = trimap_eval_step(
+                self.stm_vars, bank, jnp.asarray(f[None]), first_tri_dev,
+                jnp.asarray(first), jnp.asarray(memorize),
+                max_memory_num=max_num)
+            trimaps.append(_unpad(np.asarray(pred[0]), pad))
+        fps = n / (time.perf_counter() - t_start)
+        if out_dir is not None:
+            import cv2
+            os.makedirs(out_dir, exist_ok=True)
+            for i, t in enumerate(trimaps):
+                name = (os.path.splitext(filenames[i])[0] + ".png"
+                        if filenames else f"{i:05d}.png")
+                lbl = np.argmax(t, axis=-1).astype(np.uint8) * 127
+                cv2.imwrite(os.path.join(out_dir, name), lbl)
+        return trimaps, fps
+
 
 def write_viz(viz_dir: str, frames01, trimaps, alphas, fps: int = 10) -> None:
     """Per-frame [image | trimap | alpha | green-screen composite] strips +
@@ -160,6 +241,26 @@ def write_viz(viz_dir: str, frames01, trimaps, alphas, fps: int = 10) -> None:
              os.path.join(viz_dir, "f%05d.jpg"),
              os.path.join(viz_dir, "viz.mp4"), "-nostats", "-loglevel", "0", "-y"],
             check=False)
+
+
+def frame_window_indices(idx: int, num_frames: int, total: int) -> np.ndarray:
+    """EvalDataset num_frames>1 window mode (dataset.py:922-957): a centered,
+    edge-clipped window of frame indices around idx (exact arange+0.5
+    truncation semantics of the reference).  Unused by the shipped eval
+    protocol (eval.py constructs EvalDataset with the default num_frames=1)
+    but part of the dataset API surface."""
+    fi = (np.arange(idx - num_frames / 2, idx + num_frames / 2, 1.0)
+          + 0.5).astype(np.int32)
+    return np.clip(fi, 0, total - 1)
+
+
+def load_frame_window(frames: Sequence[np.ndarray], idx: int, num_frames: int
+                      ) -> Tuple[np.ndarray, int]:
+    """Stack the centered window [num_frames, H, W, C] and return it with
+    the center index (the reference keys the output filename on the center
+    frame, dataset.py:956)."""
+    wi = frame_window_indices(idx, num_frames, len(frames))
+    return np.stack([frames[i] for i in wi]), int(wi[num_frames // 2])
 
 
 # ---------------------------------------------------------------------------
@@ -237,10 +338,13 @@ def evaluate_vm108(evaluator: StreamingEvaluator, data_root: str,
     count = 0
     fps_all = []
     for vid in iter_vm108_videos(data_root, mode, radius):
+        gt_tris = None
+        if evaluator.protocol.stage <= 2:   # trimap-given protocol
+            gt_tris = [trimap_from_alpha(a, radius) for a in vid["gt_alpha"]]
         alphas, _, fps = evaluator.run_video(
             vid["frames"], vid["first_trimap"],
             out_dir=os.path.join(out_dir, vid["seq_name"]) if out_dir else None,
-            filenames=vid["filenames"])
+            filenames=vid["filenames"], gt_trimaps=gt_tris)
         fps_all.append(fps)
         pred = np.stack(alphas) * 255.0
         gt = np.stack(vid["gt_alpha"]) * 255.0
@@ -256,3 +360,30 @@ def evaluate_vm108(evaluator: StreamingEvaluator, data_root: str,
     out["fps"] = float(np.mean(fps_all)) if fps_all else 0.0
     out["videos"] = count
     return out
+
+
+def evaluate_vm108_trimap(evaluator: TrimapEvaluator, data_root: str,
+                          out_dir: Optional[str] = None, mode: str = "val",
+                          max_videos: Optional[int] = None) -> Dict[str, float]:
+    """Trimap-propagation quality: mean IoU of predicted vs GT trimaps
+    (the s1-trimap metric, train_s1_trimap.py:287-303)."""
+    from .metrics import trimap_iou
+
+    radius = TRIMAP_WIDTH_KERNELS[evaluator.protocol.trimap_width]
+    ious, fps_all = [], []
+    count = 0
+    for vid in iter_vm108_videos(data_root, mode, radius):
+        trimaps, fps = evaluator.run_video(
+            vid["frames"], vid["first_trimap"],
+            out_dir=os.path.join(out_dir, vid["seq_name"]) if out_dir else None,
+            filenames=vid["filenames"])
+        fps_all.append(fps)
+        gts = [trimap_from_alpha(a, radius) for a in vid["gt_alpha"]]
+        ious.append(float(np.mean([trimap_iou(p, g)
+                                   for p, g in zip(trimaps, gts)])))
+        count += 1
+        if max_videos and count >= max_videos:
+            break
+    return dict(iou=float(np.mean(ious)) if ious else 0.0,
+                fps=float(np.mean(fps_all)) if fps_all else 0.0,
+                videos=count)

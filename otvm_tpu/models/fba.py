@@ -25,7 +25,16 @@ from flax import linen as nn
 
 from ..nn.layers import Conv, GroupNorm32, WSConv, leaky_relu
 from ..nn.ops import adaptive_avg_pool, resize_bilinear, upsample_x2
+from ..nn.resnet_bn import ResNet50DilatedBN
 from ..nn.resnet_gn_ws import BasicBlockGN, ResNet50DilatedGNWS
+
+ENCODER_ARCHS = {
+    # build_encoder archs (models.py:49-66).  resnet18/34_GN_WS exist in
+    # the reference but are never selected anywhere and would change the
+    # skip-channel contract; selecting them raises KeyError here by design.
+    "resnet50_GN_WS": ResNet50DilatedGNWS,
+    "resnet50_BN": ResNet50DilatedBN,
+}
 
 FEAT_DIM = 2048
 DEC_DIM = 256
@@ -145,10 +154,11 @@ class FBA(nn.Module):
     outputs are None when refinement=False (stages 1-2).
     """
     refinement: bool = False
+    arch: str = "resnet50_GN_WS"     # Config.alpha.arch (models.py:13)
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
-        self.encoder = ResNet50DilatedGNWS(dtype=self.dtype, name="encoder")
+        self.encoder = ENCODER_ARCHS[self.arch](dtype=self.dtype, name="encoder")
         self.decoder = FBADecoder(dtype=self.dtype, name="decoder")
         if self.refinement:
             self.refine = RefinementModule(dtype=self.dtype, name="refine")

@@ -57,10 +57,10 @@ def make_trimap_features(tri3: jnp.ndarray, exact_edt: bool = False
     return feats, trimask
 
 
-def _models(stage: int):
+def _models(stage: int, arch: str = "resnet50_GN_WS"):
     refinement = stage > 2
     stm = STM(hdim=16 if stage > 2 else -1)
-    fba = FBA(refinement=refinement)
+    fba = FBA(refinement=refinement, arch=arch)
     return stm, fba, refinement
 
 
@@ -74,14 +74,16 @@ class EvalOutput(NamedTuple):
     trimap: jnp.ndarray    # [B, H, W, 3]
 
 
-@functools.partial(jax.jit, static_argnames=("stage", "max_memory_num", "exact_edt"),
+@functools.partial(jax.jit,
+                   static_argnames=("stage", "max_memory_num", "exact_edt", "arch"),
                    donate_argnums=(2,))
 def eval_frame_step(stm_vars, fba_vars, bank: MemoryBank,
                     frame01: jnp.ndarray, first_trimap3: jnp.ndarray,
                     first_frame: jnp.ndarray, memorize: jnp.ndarray,
                     last_frame: jnp.ndarray,
                     stage: int = 4, max_memory_num: int = 5,
-                    exact_edt: bool = False) -> EvalOutput:
+                    exact_edt: bool = False,
+                    arch: str = "resnet50_GN_WS") -> EvalOutput:
     """One frame of streaming joint inference.
 
     frame01 [B,H,W,3] in [0,1], H,W multiples of 32 (caller pads — the
@@ -89,7 +91,7 @@ def eval_frame_step(stm_vars, fba_vars, bank: MemoryBank,
     first_trimap3 [B,H,W,3]: GT trimap, consumed only when first_frame.
     Flags are traced; shapes compile once per resolution bucket.
     """
-    stm, fba, refinement = _models(stage)
+    stm, fba, refinement = _models(stage, arch)
 
     def use_gt(_):
         return first_trimap3
@@ -130,13 +132,14 @@ def make_eval_bank(batch: int, height: int, width: int, max_memory_num: int = 5,
     return init_bank(batch, (height // 16) * (width // 16), max_memory_num, dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("stage", "exact_edt"))
+@functools.partial(jax.jit, static_argnames=("stage", "exact_edt", "arch"))
 def alpha_predict(fba_vars, frame01: jnp.ndarray, trimap3: jnp.ndarray,
-                  stage: int = 1, exact_edt: bool = False):
+                  stage: int = 1, exact_edt: bool = False,
+                  arch: str = "resnet50_GN_WS"):
     """Single-frame FBA alpha prediction with a GIVEN trimap — the stage-1/2
     eval path (alpha EvalModel with trimap=None, models/alpha/model.py:419,
     456-457) and BASELINE config[0].  Returns (alpha [B,H,W,1], fba7)."""
-    _, fba, refinement = _models(stage)
+    _, fba, refinement = _models(stage, arch)
     feats8, _ = make_trimap_features(trimap3, exact_edt)
     x11 = jnp.concatenate([normalize_image(frame01), feats8], axis=-1)
     out7, hid, rout7, _ = fba.apply(fba_vars, x11, frame01, feats8[..., -2:])
@@ -180,7 +183,8 @@ def trimap_eval_step(stm_vars, bank: MemoryBank, frame01: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def joint_train_forward(stm_vars, fba_vars, batch: Dict[str, jnp.ndarray],
-                        stage: int, exact_edt: bool = False):
+                        stage: int, exact_edt: bool = False,
+                        arch: str = "resnet50_GN_WS"):
     """Training forward + loss, == alpha FullModel.forward.
 
     batch (all NHWC, S = frames per clip):
@@ -191,7 +195,7 @@ def joint_train_forward(stm_vars, fba_vars, batch: Dict[str, jnp.ndarray],
     Loss composition per train.py:355-366: L_alpha_comp + L_lap + L_grad
     (+ L_tri when stage > 1).
     """
-    stm, fba, refinement = _models(stage)
+    stm, fba, refinement = _models(stage, arch)
     use_trimap_net = stage > 1
 
     fg, bg, gt_alpha, tri = batch["fg"], batch["bg"], batch["alpha"], batch["tri"]

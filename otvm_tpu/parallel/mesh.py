@@ -56,11 +56,40 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch pytree with its leading axis sharded on 'data'."""
+    """Place a host batch pytree with its leading axis sharded on 'data'.
+
+    Single-process: a plain device_put suffices (the host array IS the
+    global batch).  Multi-process: each process holds only its local shard
+    (global_batch // process_count rows, fed by data.epoch_indices'
+    per-process striding — the DistributedSampler equivalent), so the
+    global array must be assembled with
+    `jax.make_array_from_process_local_data`, which maps local rows onto
+    this process's addressable devices and records the global shape."""
     sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        batch)
+
+
+def host_local(x) -> np.ndarray:
+    """This process's addressable rows of a batch-sharded array (the whole
+    array when single-process) — for host-side metrics like the s1 IoU."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    shards = sorted(x.addressable_shards,
+                    key=lambda s: (s.index[0].start or 0))
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 
 def replicate(mesh: Mesh, tree):
+    """Replicate a pytree over the whole mesh.  Multi-process: every process
+    holds the same values (same-seed init / same checkpoint), so the local
+    data IS the global data for a fully-replicated sharding."""
     rep = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(rep, np.asarray(x)),
+        tree)

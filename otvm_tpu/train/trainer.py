@@ -76,11 +76,13 @@ def _stm_vars(state: TrainState):
 
 def make_train_step(cfg: Config, tx: optax.GradientTransformation):
     stage = cfg.train.stage
+    arch = cfg.alpha.arch
 
     def loss_fn(params, batch_stats, batch):
         stm_vars = {"params": params["stm"], "batch_stats": batch_stats}
         fba_vars = {"params": params["fba"]}
-        total, aux = joint_train_forward(stm_vars, fba_vars, batch, stage)
+        total, aux = joint_train_forward(stm_vars, fba_vars, batch, stage,
+                                         arch=arch)
         return total, aux
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -102,11 +104,13 @@ def make_viz_forward(cfg: Config):
     so the hot train step never materializes visuals."""
     stage = cfg.train.stage
 
+    arch = cfg.alpha.arch
+
     @jax.jit
     def viz_forward(state: TrainState, batch):
         stm_vars = {"params": state.params["stm"], "batch_stats": state.batch_stats}
         fba_vars = {"params": state.params["fba"]}
-        _, aux = joint_train_forward(stm_vars, fba_vars, batch, stage)
+        _, aux = joint_train_forward(stm_vars, fba_vars, batch, stage, arch=arch)
         return dict(alphas=aux["alphas"], comps=aux["comps"])
 
     return viz_forward
@@ -125,8 +129,13 @@ def make_trimap_s1_train_step(cfg: Config, tx: optax.GradientTransformation):
             state.params, state.batch_stats, batch)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        # hard labels of pred/GT for the in-training IoU metric
+        # (train_s1_trimap.py:287-303); argmax on-device keeps the
+        # host transfer at 1 byte/px instead of the soft trimaps.
+        pred_lab = jnp.argmax(aux["pred"], axis=-1).astype(jnp.uint8)
+        gt_lab = jnp.argmax(batch["tri"], axis=-1).astype(jnp.uint8)
         return (TrainState(params, state.batch_stats, opt_state, state.step + 1),
-                dict(loss=loss))
+                dict(loss=loss, pred_lab=pred_lab, gt_lab=gt_lab))
 
     return train_step
 
@@ -141,7 +150,7 @@ def init_train_state(cfg: Config, rng: jax.Array, tx=None,
     h, w = height or cfg.train.train_input_size[0], width or cfg.train.train_input_size[1]
     stage = cfg.train.stage
     stm = STM(hdim=16 if stage > 2 else -1)
-    fba = FBA(refinement=stage > 2)
+    fba = FBA(refinement=stage > 2, arch=cfg.alpha.arch)
     r1, r2, r3 = jax.random.split(rng, 3)
 
     frame = jnp.zeros((1, h, w, 3))

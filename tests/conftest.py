@@ -20,3 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # MXU bf16 fast path stays on for benchmarks.)
 import jax
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compile cache: the conv graphs compile in minutes via the
+# remote compile service; repeated suite runs hit disk instead.
+from otvm_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()

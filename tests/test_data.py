@@ -115,6 +115,47 @@ def test_loader_sharding(dim_root):
     assert batches[0]["fg"].shape == (2, 3, 160, 160, 3)
 
 
+def test_loader_thread_count_invariant(dim_root):
+    """N worker threads must yield byte-identical batches, in the same
+    order, as 1 thread (per-sample RNG is keyed on global position, the
+    reorder buffer restores order).  Reference: workers=8/rank,
+    train.py:294-301."""
+    ds = DIMTrain.from_adobe_layout(dim_root, image_shape=(160, 160))
+    idx = epoch_indices(len(ds), epoch=0, repeats=6)
+    ref = list(Loader(ds, idx, batch_size=2, seed=7, num_threads=1))
+    for n in (2, 4):
+        got = list(Loader(ds, idx, batch_size=2, seed=7, num_threads=n))
+        assert len(got) == len(ref)
+        for b_ref, b_got in zip(ref, got):
+            for k in b_ref:
+                np.testing.assert_array_equal(b_ref[k], b_got[k])
+
+
+def test_loader_error_propagates():
+    class Boom:
+        def __getitem__(self, idx, rnd):
+            raise RuntimeError("decode failed")
+
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(Loader(Boom(), [0, 1], batch_size=1, num_threads=2))
+
+
+def test_eval_frame_window_mode():
+    """EvalDataset num_frames>1 (dataset.py:922-957): centered window,
+    edge-clipped, center frame names the output."""
+    from otvm_tpu.eval.runner import frame_window_indices, load_frame_window
+
+    np.testing.assert_array_equal(frame_window_indices(0, 3, 10), [0, 0, 1])
+    np.testing.assert_array_equal(frame_window_indices(5, 3, 10), [4, 5, 6])
+    np.testing.assert_array_equal(frame_window_indices(9, 3, 10), [8, 9, 9])
+    np.testing.assert_array_equal(frame_window_indices(5, 2, 10), [4, 5])
+
+    frames = [np.full((4, 4, 3), i, np.float32) for i in range(10)]
+    win, center = load_frame_window(frames, 5, 3)
+    assert win.shape == (3, 4, 4, 3) and center == 5
+    np.testing.assert_array_equal(win[:, 0, 0, 0], [4, 5, 6])
+
+
 def test_trimap_from_alpha_widths():
     a = _circle_alpha(120, 120)
     narrow = trimap_from_alpha(a, 5)[..., 1].sum()

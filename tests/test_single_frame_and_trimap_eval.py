@@ -38,6 +38,39 @@ def test_alpha_predict_stage1():
     assert np.isfinite(a).all() and 0 <= a.min() and a.max() <= 1
 
 
+def test_evaluator_stage_routing(tmp_path):
+    """StreamingEvaluator with protocol.stage<=2 routes to the trimap-GIVEN
+    per-frame path; TrimapEvaluator streams trimap propagation only —
+    the eval.py --stage {1,2} / --trimap-net CLI paths."""
+    from otvm_tpu.eval.runner import (EvalProtocol, StreamingEvaluator,
+                                      TrimapEvaluator)
+
+    cfg = get_cfg_defaults()
+    cfg.train.stage = 1
+    state = init_train_state(cfg, jax.random.PRNGKey(0), None, H, W)
+    stm_vars = {"params": state.params["stm"], "batch_stats": state.batch_stats}
+    fba_vars = {"params": state.params["fba"]}
+    rng = np.random.RandomState(0)
+    frames = [rng.rand(H, W, 3).astype(np.float32) for _ in range(3)]
+    tri = _tri()[0]
+
+    proto = EvalProtocol(stage=1)
+    ev = StreamingEvaluator(stm_vars, fba_vars, proto)
+    # per-frame GT trimaps -> every frame evaluated
+    alphas, trimaps, _ = ev.run_video(frames, tri, gt_trimaps=[tri] * 3,
+                                      out_dir=str(tmp_path / "a"))
+    assert len(alphas) == 3 and alphas[0].shape == (H, W)
+    # no per-frame trimaps -> only frame 0
+    alphas1, _, _ = ev.run_video(frames, tri)
+    assert len(alphas1) == 1
+    np.testing.assert_allclose(alphas1[0], alphas[0])
+
+    tev = TrimapEvaluator(stm_vars, EvalProtocol(stage=1, memory_skip_frame=3))
+    trimaps, _ = tev.run_video(frames, tri, out_dir=str(tmp_path / "t"))
+    assert len(trimaps) == 3 and trimaps[0].shape == (H, W, 3)
+    np.testing.assert_allclose(trimaps[0], tri)  # first frame = GT
+
+
 def test_trimap_eval_stream_policies():
     cfg = get_cfg_defaults()
     cfg.train.stage = 1

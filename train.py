@@ -32,6 +32,11 @@ def parse_args():
                    help="smoke test: ~20 iters, 1 epoch (cfg.SYSTEM.TESTMODE)")
     p.add_argument("--init", type=str, default=None,
                    help="prior-stage weights (.pth via converter, or orbax dir)")
+    p.add_argument("--init-trimap", type=str, default=None,
+                   help="separate trimap-net init (s1_OTVM_trimap checkpoint "
+                        "or STM_weights.pth) — the stage-2 load matrix loads "
+                        "alpha and trimap from different artifacts "
+                        "(train.py:96-104)")
     p.add_argument("--resume", type=str, default=None, help="orbax train-state dir")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
@@ -44,6 +49,9 @@ def parse_args():
 
 def main():
     import jax
+
+    from otvm_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import numpy as np
 
     from otvm_tpu.config import get_cfg_defaults, get_model_name
@@ -112,6 +120,24 @@ def main():
             # prior-stage orbax checkpoint: params only, fresh optimizer
             state = restore_params_only(args.init, state)
             state = state.replace(opt_state=tx.init(state.params))
+    if args.init_trimap:
+        if args.init_trimap.endswith(".pth"):
+            imported = import_torch_checkpoint(args.init_trimap, args.stage)
+            params = dict(state.params)
+            params["stm"] = imported["trimap"]["params"]
+            state = state.replace(
+                params=params,
+                batch_stats=imported["trimap"].get("batch_stats",
+                                                   state.batch_stats),
+                opt_state=tx.init(params))
+        else:
+            # merge only the stm subtree from the given train-state dir
+            donor = restore_params_only(args.init_trimap, state)
+            params = dict(state.params)
+            params["stm"] = donor.params["stm"]
+            state = state.replace(params=params,
+                                  batch_stats=donor.batch_stats,
+                                  opt_state=tx.init(params))
     if args.resume:
         state = restore_train_state(args.resume, state)
         logger.info(f"resumed at step {int(state.step)}")

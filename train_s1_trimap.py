@@ -25,10 +25,14 @@ def parse_args():
 def main():
     import jax
 
+    from otvm_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from otvm_tpu.config import get_cfg_defaults
     from otvm_tpu.data.datasets import DIMTrain
     from otvm_tpu.data.loader import Loader, epoch_indices
-    from otvm_tpu.parallel.mesh import init_distributed, make_mesh, shard_batch
+    from otvm_tpu.parallel.mesh import (host_local, init_distributed,
+                                        make_mesh, shard_batch)
     from otvm_tpu.train.trainer import (init_train_state, make_optimizer,
                                         make_trimap_s1_train_step)
     from otvm_tpu.utils.checkpoint import import_torch_checkpoint, save_train_state
@@ -69,15 +73,19 @@ def main():
 
     train_step = make_trimap_s1_train_step(cfg, tx)
     meter = AverageMeter()
+    iou_meter = AverageMeter()
     per_proc_batch = cfg.train.batch_size // jax.process_count()
     total_epochs = 1 if cfg.system.testmode else cfg.train.total_epochs
+
+    from otvm_tpu.eval.metrics import label_iou
 
     for epoch in range(total_epochs):
         idx = epoch_indices(len(dataset), epoch, args.repeats,
                             cfg.system.random_seed,
                             jax.process_index(), jax.process_count())
         loader = Loader(dataset, idx, per_proc_batch,
-                        seed=cfg.system.random_seed + epoch)
+                        seed=cfg.system.random_seed + epoch,
+                        num_threads=cfg.system.num_workers)
         for i, sample in enumerate(loader):
             if cfg.system.testmode and i > 20:
                 break
@@ -85,8 +93,15 @@ def main():
             batch = shard_batch(mesh, dict(img=img, tri=sample["tri"]))
             state, metrics = train_step(state, batch)
             meter.update(float(metrics["loss"]))
+            # per-iteration trimap IoU, as the reference logs it
+            # (train_s1_trimap.py:287-303); frame 0 is the GT first trimap
+            # so only propagated frames are scored
+            pred_lab = host_local(metrics["pred_lab"])[:, 1:]
+            gt_lab = host_local(metrics["gt_lab"])[:, 1:]
+            iou_meter.update(label_iou(pred_lab, gt_lab))
             if i % 50 == 0 and jax.process_index() == 0:
-                logger.info(f"E{epoch} I{i} CE {meter.val:.4f} ({meter.avg:.4f})")
+                logger.info(f"E{epoch} I{i} CE {meter.val:.4f} ({meter.avg:.4f}) "
+                            f"IoU {iou_meter.val:.4f} ({iou_meter.avg:.4f})")
         if jax.process_index() == 0:
             save_train_state(os.path.join("weights", "s1_OTVM_trimap"), state)
 
