@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -33,6 +34,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
+
+# flash tile sizes, sweepable without code edits (read once at import;
+# the kernel is re-jitted per process anyway)
+_BLOCK_Q = int(os.environ.get("OTVM_FLASH_BQ", "512"))
+_BLOCK_KV = int(os.environ.get("OTVM_FLASH_BKV", "512"))
 
 
 def _flatten_bank(m_k: jnp.ndarray, m_v: jnp.ndarray, slot_mask: Optional[jnp.ndarray]):
@@ -117,7 +123,7 @@ def _round_up(x: int, m: int) -> int:
 @functools.partial(jax.jit, static_argnames=("block_q", "block_kv", "interpret"))
 def memory_read_pallas(q_k: jnp.ndarray, m_k: jnp.ndarray, m_v: jnp.ndarray,
                        slot_mask: Optional[jnp.ndarray] = None,
-                       block_q: int = 512, block_kv: int = 512,
+                       block_q: int = _BLOCK_Q, block_kv: int = _BLOCK_KV,
                        interpret: bool = False) -> jnp.ndarray:
     b, hw, ck = q_k.shape
     t = m_k.shape[1]

@@ -8,7 +8,7 @@ Bottleneck:46, ResNet:85, l_resnet50:150) wrapped by ResnetDilatedBN
     instead of a single 7x7; bottleneck inplanes start at 128;
   * plain convs + BatchNorm2d everywhere (no weight standardization).
 
-BatchNorm is structurally frozen (FrozenBatchNorm): the reference trains
+BatchNorm is structurally frozen (see BNAffine): the reference trains
 with TRAIN.FREEZE_BN putting every BN in eval() (train.py:310-327) and
 explicitly disables SyncBN for FBA (train.py:129-132), so running stats are
 never updated on the main path — we bake that in.
@@ -63,18 +63,18 @@ class BottleneckBN(nn.Module):
         out_ch = self.planes * 4
         identity = x
         y = Conv(self.planes, 1, 1, 0, use_bias=False, dtype=self.dtype, name="conv1")(x)
-        y = FrozenBatchNorm(self.planes, name="bn1")(y)
+        y = BNAffine(self.planes, name="bn1")(y)
         y = nn.relu(y)
         y = Conv(self.planes, 3, self.stride, self.dilation2, dilation=self.dilation2,
                  use_bias=False, dtype=self.dtype, name="conv2")(y)
-        y = FrozenBatchNorm(self.planes, name="bn2")(y)
+        y = BNAffine(self.planes, name="bn2")(y)
         y = nn.relu(y)
         y = Conv(out_ch, 1, 1, 0, use_bias=False, dtype=self.dtype, name="conv3")(y)
-        y = FrozenBatchNorm(out_ch, name="bn3")(y)
+        y = BNAffine(out_ch, name="bn3")(y)
         if self.downsample:
             identity = Conv(out_ch, 1, self.stride, 0, use_bias=False,
                             dtype=self.dtype, name="downsample_conv")(x)
-            identity = FrozenBatchNorm(out_ch, name="downsample_bn")(identity)
+            identity = BNAffine(out_ch, name="downsample_bn")(identity)
         return nn.relu(y + identity)
 
 
@@ -108,13 +108,13 @@ class ResNet50DilatedBN(nn.Module):
     def __call__(self, x):
         conv_out = [x]
         c = Conv(64, 3, 2, 1, use_bias=False, dtype=self.dtype, name="conv1")(x)
-        c = FrozenBatchNorm(64, name="bn1")(c)
+        c = BNAffine(64, name="bn1")(c)
         c = nn.relu(c)
         c = Conv(64, 3, 1, 1, use_bias=False, dtype=self.dtype, name="conv2")(c)
-        c = FrozenBatchNorm(64, name="bn2")(c)
+        c = BNAffine(64, name="bn2")(c)
         c = nn.relu(c)
         c = Conv(128, 3, 1, 1, use_bias=False, dtype=self.dtype, name="conv3")(c)
-        c = FrozenBatchNorm(128, name="bn3")(c)
+        c = BNAffine(128, name="bn3")(c)
         c1 = nn.relu(c)
         conv_out.append(c1)                                    # 1/2, 128
         p = max_pool_3x3_s2(c1)                                # 1/4, 128

@@ -38,7 +38,8 @@ def test_bn_arch_selectable_in_fba():
     cfg.alpha.arch = "resnet50_BN"
     state = init_train_state(cfg, jax.random.PRNGKey(0), None, H, W)
     # BN-stem conv1 takes the 11-ch input (models.py:66-85 surgery)
-    assert state.params["fba"]["encoder"]["conv1"]["kernel"].shape == (3, 3, 11, 64)
+    k = state.params["fba"]["encoder"]["conv1"]["conv"]["kernel"]
+    assert k.shape == (3, 3, 11, 64)
 
     tri = np.zeros((1, H, W, 3), np.float32)
     tri[..., 0] = 1

@@ -19,6 +19,8 @@ def parse_args():
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--repeats", type=int, default=20)
+    p.add_argument("--input-size", type=int, default=None,
+                   help="square train crop override (default 320)")
     return p.parse_args()
 
 
@@ -49,6 +51,8 @@ def main():
         cfg.train.total_epochs = args.epochs
     if args.batch_size:
         cfg.train.batch_size = args.batch_size
+    if args.input_size:
+        cfg.train.train_input_size = (args.input_size, args.input_size)
 
     init_distributed()
     mesh = make_mesh()
