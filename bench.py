@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 H, W = (int(x) for x in os.environ.get("BENCH_RES", "512x512").split("x"))
 B = int(os.environ.get("BENCH_BATCH", "1"))  # concurrent video streams
+CHUNK = int(os.environ.get("BENCH_CHUNK", "1"))  # frames per dispatch (scan)
 N_WARMUP = 3
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "60"))
 MAX_MEM = 5
@@ -37,7 +38,7 @@ def main():
     enable_compilation_cache()
 
     from otvm_tpu.models.memory import init_bank
-    from otvm_tpu.models.otvm import eval_frame_step
+    from otvm_tpu.models.otvm import eval_chunk_step, eval_frame_step
     from otvm_tpu.train.trainer import init_train_state
     from otvm_tpu.config import get_cfg_defaults
 
@@ -73,19 +74,38 @@ def main():
                    jnp.asarray(i % SKIP == 0), jnp.asarray(False))
     jax.block_until_ready(out.alpha)
     assert bool(jnp.isfinite(out.alpha.astype(jnp.float32)).all()), "non-finite alpha"
-
     bank = out.bank
-    t0 = time.perf_counter()
-    for i in range(N_FRAMES):
-        out = step(bank, frames[i % len(frames)], jnp.asarray(False),
-                   jnp.asarray(i % SKIP == 0), jnp.asarray(False))
-        bank = out.bank
-    jax.block_until_ready(out.alpha)
-    dt = time.perf_counter() - t0
-    fps = N_FRAMES * B / dt
 
-    metric = ("fps_512p_joint_s4" if (H, W) == (512, 512) and B == 1
-              else f"fps_{H}x{W}_b{B}_joint_s4")
+    if CHUNK > 1:
+        # chunked dispatch: same per-frame protocol, scanned on-device
+        chunk_frames = jnp.stack([frames[i % len(frames)] for i in range(CHUNK)])
+        false = jnp.zeros((CHUNK,), bool)
+        mems = jnp.asarray([(i % SKIP) == 0 for i in range(CHUNK)])
+        bank, a, _ = eval_chunk_step(stm_vars, fba_vars, bank, chunk_frames,
+                                     first_tri, false, mems, false,
+                                     stage=4, max_memory_num=MAX_MEM)
+        jax.block_until_ready(a)
+        n_chunks = max(N_FRAMES // CHUNK, 1)
+        t0 = time.perf_counter()
+        for _ in range(n_chunks):
+            bank, a, _ = eval_chunk_step(stm_vars, fba_vars, bank, chunk_frames,
+                                         first_tri, false, mems, false,
+                                         stage=4, max_memory_num=MAX_MEM)
+        jax.block_until_ready(a)
+        dt = time.perf_counter() - t0
+        fps = n_chunks * CHUNK * B / dt
+    else:
+        t0 = time.perf_counter()
+        for i in range(N_FRAMES):
+            out = step(bank, frames[i % len(frames)], jnp.asarray(False),
+                       jnp.asarray(i % SKIP == 0), jnp.asarray(False))
+            bank = out.bank
+        jax.block_until_ready(out.alpha)
+        dt = time.perf_counter() - t0
+        fps = N_FRAMES * B / dt
+
+    metric = ("fps_512p_joint_s4" if (H, W) == (512, 512) and B == 1 and CHUNK == 1
+              else f"fps_{H}x{W}_b{B}_c{CHUNK}_joint_s4")
     print(json.dumps({
         "metric": metric,
         "value": round(fps, 3),

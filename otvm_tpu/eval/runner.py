@@ -27,8 +27,8 @@ import numpy as np
 
 from ..config import TRIMAP_WIDTH_KERNELS
 from ..data.trimap import trimap_from_alpha, trimap_from_png
-from ..models.otvm import (alpha_predict, eval_frame_step, make_eval_bank,
-                           trimap_eval_step)
+from ..models.otvm import (alpha_predict, eval_chunk_step, eval_frame_step,
+                           make_eval_bank, trimap_eval_step)
 from ..nn.ops import divide_pad_amounts
 
 
@@ -39,6 +39,9 @@ class EvalProtocol:
     trimap_width: str = "medium"
     stage: int = 4
     large_input_edge: int = 1100     # eval.py:184
+    chunk: int = 1                   # frames per device dispatch (lax.scan);
+                                     # >1 amortizes dispatch for offline
+                                     # streams, identical per-frame protocol
 
     def flags(self, n_frames: int, height: int, width: int):
         """Per-frame (first, memorize, last) + effective bank size."""
@@ -111,21 +114,25 @@ class StreamingEvaluator:
 
         alphas, trimaps = [], []
         t_start = time.perf_counter()
-        pending = None  # (EvalOutput, pad) — overlap host prep with device
 
-        for i in range(n):
-            f, _, pad = _pad_frame(frames01[i], None) if i else (f0, t0, pad)
-            first, memorize, last = flags[i]
-            out = eval_frame_step(
-                self.trimap_vars, self.alpha_vars, bank,
-                jnp.asarray(f[None]), first_tri_dev,
-                jnp.asarray(first), jnp.asarray(memorize), jnp.asarray(last),
-                stage=self.protocol.stage, max_memory_num=max_num)
-            bank = out.bank
-            if pending is not None:
-                self._collect(pending, alphas, trimaps)
-            pending = (out, pad)
-        self._collect(pending, alphas, trimaps)
+        if self.protocol.chunk > 1:
+            bank = self._run_chunked(bank, frames01, first_tri_dev, flags,
+                                     max_num, pad, f0, alphas, trimaps)
+        else:
+            pending = None  # (EvalOutput, pad) — overlap host prep with device
+            for i in range(n):
+                f, _, pad = _pad_frame(frames01[i], None) if i else (f0, t0, pad)
+                first, memorize, last = flags[i]
+                out = eval_frame_step(
+                    self.trimap_vars, self.alpha_vars, bank,
+                    jnp.asarray(f[None]), first_tri_dev,
+                    jnp.asarray(first), jnp.asarray(memorize), jnp.asarray(last),
+                    stage=self.protocol.stage, max_memory_num=max_num)
+                bank = out.bank
+                if pending is not None:
+                    self._collect(pending, alphas, trimaps)
+                pending = (out, pad)
+            self._collect(pending, alphas, trimaps)
         fps = n / (time.perf_counter() - t_start)
 
         if out_dir is not None:
@@ -145,6 +152,35 @@ class StreamingEvaluator:
         out, pad = pending
         alphas.append(_unpad(np.asarray(out.alpha[0, :, :, 0]), pad))
         trimaps.append(_unpad(np.asarray(out.trimap[0]), pad))
+
+    def _run_chunked(self, bank, frames01, first_tri_dev, flags, max_num,
+                     pad, f0, alphas, trimaps):
+        """Dispatch `chunk` frames per device call (eval_chunk_step);
+        the tail chunk is padded with repeats of the last frame under
+        all-False flags (no memorize -> no bank mutation) and its padded
+        outputs dropped."""
+        n = len(frames01)
+        C = self.protocol.chunk
+        for lo in range(0, n, C):
+            hi = min(lo + C, n)
+            fs = [f0 if i == 0 else _pad_frame(frames01[i], None)[0]
+                  for i in range(lo, hi)]
+            fl = list(flags[lo:hi])
+            while len(fs) < C:                      # tail padding
+                fs.append(fs[-1])
+                fl.append((False, False, False))
+            frames_dev = jnp.asarray(np.stack(fs)[:, None])   # [C,1,H,W,3]
+            firsts, mems, lasts = (jnp.asarray([f[k] for f in fl])
+                                   for k in range(3))
+            bank, a, t = eval_chunk_step(
+                self.trimap_vars, self.alpha_vars, bank,
+                frames_dev, first_tri_dev, firsts, mems, lasts,
+                stage=self.protocol.stage, max_memory_num=max_num)
+            a, t = np.asarray(a), np.asarray(t)
+            for j in range(hi - lo):
+                alphas.append(_unpad(a[j, 0, :, :, 0], pad))
+                trimaps.append(_unpad(t[j, 0], pad))
+        return bank
 
     def _run_given_trimaps(self, frames01, first_trimap3, gt_trimaps,
                            out_dir, filenames, viz_dir):

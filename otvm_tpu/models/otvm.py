@@ -74,17 +74,14 @@ class EvalOutput(NamedTuple):
     trimap: jnp.ndarray    # [B, H, W, 3]
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("stage", "max_memory_num", "exact_edt", "arch"),
-                   donate_argnums=(2,))
-def eval_frame_step(stm_vars, fba_vars, bank: MemoryBank,
-                    frame01: jnp.ndarray, first_trimap3: jnp.ndarray,
-                    first_frame: jnp.ndarray, memorize: jnp.ndarray,
-                    last_frame: jnp.ndarray,
-                    stage: int = 4, max_memory_num: int = 5,
-                    exact_edt: bool = False,
-                    arch: str = "resnet50_GN_WS") -> EvalOutput:
-    """One frame of streaming joint inference.
+def _eval_frame_core(stm_vars, fba_vars, bank: MemoryBank,
+                     frame01: jnp.ndarray, first_trimap3: jnp.ndarray,
+                     first_frame: jnp.ndarray, memorize: jnp.ndarray,
+                     last_frame: jnp.ndarray,
+                     stage: int, max_memory_num: int,
+                     exact_edt: bool, arch: str) -> EvalOutput:
+    """One frame of streaming joint inference (traced body shared by the
+    per-frame jit and the chunked lax.scan).
 
     frame01 [B,H,W,3] in [0,1], H,W multiples of 32 (caller pads — the
     reference pads to /32 at models/alpha/model.py:408-410).
@@ -123,6 +120,53 @@ def eval_frame_step(stm_vars, fba_vars, bank: MemoryBank,
 
     bank = jax.lax.cond(last_frame, lambda b: b, do_memorize, bank)
     return EvalOutput(bank, alpha, out_trimap)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("stage", "max_memory_num", "exact_edt", "arch"),
+                   donate_argnums=(2,))
+def eval_frame_step(stm_vars, fba_vars, bank: MemoryBank,
+                    frame01: jnp.ndarray, first_trimap3: jnp.ndarray,
+                    first_frame: jnp.ndarray, memorize: jnp.ndarray,
+                    last_frame: jnp.ndarray,
+                    stage: int = 4, max_memory_num: int = 5,
+                    exact_edt: bool = False,
+                    arch: str = "resnet50_GN_WS") -> EvalOutput:
+    """Single-frame dispatch (lowest latency; one device round trip per
+    frame).  See _eval_frame_core for semantics."""
+    return _eval_frame_core(stm_vars, fba_vars, bank, frame01, first_trimap3,
+                            first_frame, memorize, last_frame,
+                            stage, max_memory_num, exact_edt, arch)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("stage", "max_memory_num", "exact_edt", "arch"),
+                   donate_argnums=(2,))
+def eval_chunk_step(stm_vars, fba_vars, bank: MemoryBank,
+                    frames01: jnp.ndarray, first_trimap3: jnp.ndarray,
+                    first_flags: jnp.ndarray, memorize_flags: jnp.ndarray,
+                    last_flags: jnp.ndarray,
+                    stage: int = 4, max_memory_num: int = 5,
+                    exact_edt: bool = False,
+                    arch: str = "resnet50_GN_WS"):
+    """T frames in ONE dispatch via lax.scan over _eval_frame_core —
+    byte-for-byte the per-frame protocol (same flags per frame), but the
+    host->device round trip is amortized T-fold.  For buffered/offline
+    streams (the reference's eval protocol IS offline, eval.py:157); use
+    eval_frame_step when per-frame latency matters.
+
+    frames01 [T,B,H,W,3]; flags [T] bool arrays.
+    Returns (bank, alphas [T,B,H,W,1], trimaps [T,B,H,W,3])."""
+    def body(b, inp):
+        frame, first, mem, last = inp
+        out = _eval_frame_core(stm_vars, fba_vars, b, frame, first_trimap3,
+                               first, mem, last,
+                               stage, max_memory_num, exact_edt, arch)
+        return out.bank, (out.alpha, out.trimap)
+
+    bank, (alphas, trimaps) = jax.lax.scan(
+        body, bank, (frames01, first_flags, memorize_flags, last_flags))
+    return bank, alphas, trimaps
 
 
 def make_eval_bank(batch: int, height: int, width: int, max_memory_num: int = 5,

@@ -44,6 +44,8 @@ def parse_args():
                    help="dataset x20 per epoch (train.py:283)")
     p.add_argument("--input-size", type=int, default=None,
                    help="square train crop override (default 320)")
+    p.add_argument("--lr", type=float, default=None,
+                   help="base LR override (default 1e-5)")
     return p.parse_args()
 
 
@@ -78,6 +80,8 @@ def main():
         cfg.train.batch_size = args.batch_size
     if args.input_size:
         cfg.train.train_input_size = (args.input_size, args.input_size)
+    if args.lr:
+        cfg.train.base_lr = args.lr
 
     init_distributed()
     mesh = make_mesh()
