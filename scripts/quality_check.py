@@ -182,6 +182,7 @@ def main():
     p.add_argument("--trained", action="store_true")
     p.add_argument("--edt", action="store_true")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--onsynth", action="store_true")
     p.add_argument("--weights", default="weights/s4_OTVM")
     p.add_argument("--synth", default="/tmp/synth_data")
     p.add_argument("--dove", default="/root/reference/demo")
@@ -193,22 +194,45 @@ def main():
     if os.path.exists(args.out):
         with open(args.out) as f:
             report = json.load(f)
+    report["context"] = (
+        "oracle_parity is the framework-vs-framework number (same weights, "
+        "same clip, torch reference vs rebuild) and is the evidence for the "
+        "'within 1%' north star.  trained_* / edt / bf16 sections use the "
+        "best checkpoint available in this image: a stage-chained overfit of "
+        "the synthetic fixture (the paper's released .pth files are not "
+        "present), so dove (off-distribution) numbers are directional only; "
+        "onsynth_variants is the on-distribution version of the EDT/bf16 "
+        "comparison.")
 
     if args.oracle:
         report["oracle_parity"] = run_oracle()
         print(json.dumps(report["oracle_parity"], indent=2))
 
-    need_weights = args.trained or args.edt or args.bf16
+    def _save():
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+
+    if args.oracle:
+        _save()
+
+    need_weights = args.trained or args.edt or args.bf16 or args.onsynth
     if need_weights:
-        sys.argv = [sys.argv[0]]  # keep eval.load_weights' argparse quiet
-        from eval import load_weights
-        trimap_vars, alpha_vars = load_weights(args.weights, stage=4)
+        # import the REPO's eval.py by path: run_oracle's reference loader
+        # prepends /root/reference to sys.path, which shadows the name `eval`
+        import importlib.util
+        repo_eval = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "eval.py")
+        spec = importlib.util.spec_from_file_location("otvm_repo_eval", repo_eval)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        trimap_vars, alpha_vars = mod.load_weights(args.weights, stage=4)
 
     if args.trained:
         from otvm_tpu.eval.runner import EvalProtocol, StreamingEvaluator, evaluate_vm108
         ev = StreamingEvaluator(trimap_vars, alpha_vars, EvalProtocol())
         res = evaluate_vm108(ev, args.synth, mode="val")
         report["trained_vm108_synth"] = {k: float(v) for k, v in res.items()}
+        _save()
         # dove has no GT alpha; record fps + that the stream completes
         frames, tri = _dove_frames(args.dove, args.max_edge, args.max_frames)
         alphas = _stream(trimap_vars, alpha_vars, frames, tri)
@@ -224,12 +248,57 @@ def main():
         a_jfa = _stream(trimap_vars, alpha_vars, frames, tri, exact_edt=False)
         a_ex = _stream(trimap_vars, alpha_vars, frames, tri, exact_edt=True)
         d = np.abs(np.stack(a_jfa) - np.stack(a_ex))
-        sad_jfa = float(np.abs(np.stack(a_jfa)).sum())
         report["edt_jfa_vs_exact_dove"] = dict(
             max_alpha_delta=float(d.max()), mean_alpha_delta=float(d.mean()),
             frames=len(frames),
             note="production JFA EDT vs exact EDT, trained s4 weights")
         print(json.dumps(report["edt_jfa_vs_exact_dove"], indent=2))
+        _save()
+
+    if args.onsynth:
+        # on-distribution EDT + bf16 deltas: the dove numbers above are noisy
+        # because the available checkpoint is a small synthetic overfit (the
+        # paper's released .pth weights are not in this image) and dove is
+        # off-distribution for it.  Here we stream the synth VM108 clip the
+        # checkpoint was actually fit to, where its alpha is meaningful.
+        import jax.numpy as jnp
+
+        from otvm_tpu.data.trimap import trimap_from_alpha
+        from otvm_tpu.eval.metrics import video_metrics
+        from otvm_tpu.eval.runner import iter_vm108_videos
+        vid = next(iter_vm108_videos(args.synth, "val", 12))
+        frames, tri = vid["frames"], vid["first_trimap"]
+        gt = np.stack(vid["gt_alpha"]) * 255.0
+        mask = np.stack([trimap_from_alpha(a, 12)[..., 1]
+                         for a in vid["gt_alpha"]]) * 128.0
+
+        def score(alphas):
+            m = video_metrics(np.stack(alphas) * 255.0, gt, mask)
+            return dict(SAD=float(m["SAD"]), MSE=float(m["MSE"]))
+
+        a_base = _stream(trimap_vars, alpha_vars, frames, tri)           # JFA fp32
+        a_ex = _stream(trimap_vars, alpha_vars, frames, tri, exact_edt=True)
+        a_b16 = _stream(trimap_vars, alpha_vars, frames, tri, dtype=jnp.bfloat16)
+        d_edt = np.abs(np.stack(a_base) - np.stack(a_ex))
+        d_b16 = np.abs(np.stack(a_base) - np.stack(a_b16))
+        s_base, s_ex, s_b16 = score(a_base), score(a_ex), score(a_b16)
+        report["onsynth_variants"] = dict(
+            note="synth VM108 clip (on-distribution for the trained ckpt); "
+                 "baseline = production JFA EDT, fp32",
+            frames=len(frames),
+            sad=dict(jfa_fp32=s_base["SAD"], exact_fp32=s_ex["SAD"],
+                     jfa_bf16=s_b16["SAD"]),
+            mse=dict(jfa_fp32=s_base["MSE"], exact_fp32=s_ex["MSE"],
+                     jfa_bf16=s_b16["MSE"]),
+            edt_sad_rel_diff_pct=float(abs(s_ex["SAD"] - s_base["SAD"])
+                                       / max(s_base["SAD"], 1e-9) * 100),
+            bf16_sad_rel_diff_pct=float(abs(s_b16["SAD"] - s_base["SAD"])
+                                        / max(s_base["SAD"], 1e-9) * 100),
+            edt_alpha_delta=dict(max=float(d_edt.max()), mean=float(d_edt.mean())),
+            bf16_alpha_delta=dict(max=float(d_b16.max()), mean=float(d_b16.mean())),
+        )
+        print(json.dumps(report["onsynth_variants"], indent=2))
+        _save()
 
     if args.bf16:
         import jax.numpy as jnp
