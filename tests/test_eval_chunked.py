@@ -61,8 +61,11 @@ def test_chunked_matches_per_frame():
 
     assert int(bank.count) == ref_count
     for i in range(N):
-        # both [B=1, H, W, C]
-        np.testing.assert_allclose(got_alphas[i], ref_alphas[i], atol=1e-5,
+        # both [B=1, H, W, C].  atol: the scan body compiles (and fuses)
+        # differently from the standalone per-frame jit, so float32 rounding
+        # differs at ~1e-4 through the deep resnet — semantic divergence
+        # (flag mishandling, bank drift) would show as O(1) differences.
+        np.testing.assert_allclose(got_alphas[i], ref_alphas[i], atol=5e-4,
                                    err_msg=f"alpha frame {i}")
-        np.testing.assert_allclose(got_tris[i], ref_tris[i], atol=1e-5,
+        np.testing.assert_allclose(got_tris[i], ref_tris[i], atol=5e-4,
                                    err_msg=f"trimap frame {i}")
