@@ -38,48 +38,50 @@ def edt_sq_jfa(seeds: jnp.ndarray) -> jnp.ndarray:
     rolls (wrapped entries masked invalid): the traced body is ~50 ops, so
     compile time is flat in image size on every backend — the naive fully
     unrolled shift pyramid made the single-threaded CPU XLA backend take
-    tens of minutes."""
+    tens of minutes.
+
+    The (sy, sx) seed coordinates are packed into ONE int32 code
+    (sy * W + sx, -1 = no seed): the loop is HBM-bound on the 8 rolled
+    copies per pass, so one rolled array instead of two nearly halves the
+    kernel's byte traffic (decode back to (y, x) is cheap VPU ALU)."""
     h, w = seeds.shape
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    sy0 = jnp.where(seeds, yy, -1)
-    sx0 = jnp.where(seeds, xx, -1)
+    code0 = jnp.where(seeds, yy * w + xx, -1)
 
-    def dist2(cy, cx):
+    def dist2(code):
+        cy = code // w
+        cx = code - cy * w
         d = (yy - cy).astype(jnp.float32) ** 2 + (xx - cx).astype(jnp.float32) ** 2
-        return jnp.where(cy >= 0, d, _BIG)
+        return jnp.where(code >= 0, d, _BIG)
 
     n = max(int(np.ceil(np.log2(max(h, w, 2)))), 1)
     # step schedule: 1 (pre-pass), 2^(n-1) ... 1, 1 (clean-up)
     ks = jnp.asarray([1] + [1 << (n - 1 - j) for j in range(n)] + [1],
                      dtype=jnp.int32)
 
-    def body(j, carry):
-        sy, sx = carry
+    def body(j, code):
         k = ks[j]
-        best = dist2(sy, sx)
+        best = dist2(code)
         for sy_sign in (-1, 0, 1):
             for sx_sign in (-1, 0, 1):
                 if sy_sign == 0 and sx_sign == 0:
                     continue
                 dy, dx = k * sy_sign, k * sx_sign
-                cy = jnp.roll(sy, (dy, dx), axis=(0, 1))
-                cx = jnp.roll(sx, (dy, dx), axis=(0, 1))
+                c = jnp.roll(code, (dy, dx), axis=(0, 1))
                 # entries whose source wrapped around are invalid
                 src_y = yy - dy
                 src_x = xx - dx
                 valid = ((src_y >= 0) & (src_y < h) & (src_x >= 0) & (src_x < w))
-                cy = jnp.where(valid, cy, -1)
-                cx = jnp.where(valid, cx, -1)
-                d = dist2(cy, cx)
+                c = jnp.where(valid, c, -1)
+                d = dist2(c)
                 take = d < best
                 best = jnp.where(take, d, best)
-                sy = jnp.where(take, cy, sy)
-                sx = jnp.where(take, cx, sx)
-        return sy, sx
+                code = jnp.where(take, c, code)
+        return code
 
-    sy, sx = jax.lax.fori_loop(0, ks.shape[0], body, (sy0, sx0))
-    return dist2(sy, sx)
+    code = jax.lax.fori_loop(0, ks.shape[0], body, code0)
+    return dist2(code)
 
 
 def edt_sq_exact(seeds: jnp.ndarray) -> jnp.ndarray:
@@ -119,16 +121,17 @@ def trimap_clicks(trimap2: jnp.ndarray, exact: bool = False) -> jnp.ndarray:
     trimap2: [B, H, W, 2] binary (bg mask, fg mask) -> clicks [B, H, W, 6]
     ordered [bg_s1, bg_s2, bg_s3, fg_s1, fg_s2, fg_s3].
     """
-    def one_image(tri):  # [H, W, 2]
-        feats = []
-        for k in range(2):
-            seeds = tri[..., k] > 0.5
-            d2 = edt_sq(seeds, exact=exact)
-            for sigma in _SIGMAS:
-                feats.append(jnp.exp(-d2 / (2.0 * sigma * sigma)))
-        return jnp.stack(feats, axis=-1)
-
-    return jax.vmap(one_image)(trimap2)
+    b, h, w, _ = trimap2.shape
+    # both seed channels of the whole batch run through ONE jump-flooding
+    # loop ([B*2, H, W] via vmap): the loop is latency-bound on its ~90
+    # sequential fused kernels, so halving the sequential depth (vs two
+    # per-channel EDT calls) matters more than the per-kernel size
+    seeds = (jnp.moveaxis(trimap2, -1, 1) > 0.5).reshape(b * 2, h, w)
+    d2 = jax.vmap(lambda s: edt_sq(s, exact=exact))(seeds)
+    d2 = d2.reshape(b, 2, h, w)
+    feats = [jnp.exp(-d2[:, k] / (2.0 * sigma * sigma))
+             for k in range(2) for sigma in _SIGMAS]
+    return jnp.stack(feats, axis=-1)
 
 
 def trimap_clicks_host(trimap2: np.ndarray) -> np.ndarray:
