@@ -70,4 +70,9 @@ def main(root: str):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/synth_data")
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("root", nargs="?", default="/tmp/synth_data",
+                   help="output directory (default /tmp/synth_data)")
+    main(p.parse_args().root)
