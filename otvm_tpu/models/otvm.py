@@ -242,6 +242,26 @@ def joint_train_forward(stm_vars, fba_vars, batch: Dict[str, jnp.ndarray],
     stm, fba, refinement = _models(stage, arch)
     use_trimap_net = stage > 1
 
+    # OTVM_REMAT=1: rematerialize each frame's FBA forward in the backward
+    # pass (jax.checkpoint).  The S-frame cross-feeding loop otherwise keeps
+    # every frame's full-resolution FBA activations live simultaneously —
+    # per-chip batch 4 at 320px OOMs a 16 GB v5e without this
+    # (docs/BENCH_NOTES.md).  Off by default: at per-chip batch 1 the
+    # recompute costs more than it saves.
+    import os
+    remat = os.environ.get("OTVM_REMAT", "0") == "1"
+    ckpt = jax.checkpoint if remat else (lambda f: f)
+    fba_call = ckpt(lambda v, x, im, t2: fba.apply(v, x, im, t2))
+    if stm.hdim > 0:
+        stm_memorize = ckpt(lambda sv, im, u, f, a, h: stm.apply(
+            sv, im, u, f, method=STM.memorize, alpha=a, hidden=h))
+    else:
+        stm_memorize = ckpt(lambda sv, im, u, f: stm.apply(
+            sv, im, u, f, method=STM.memorize))
+    stm_segment = ckpt(lambda sv, im, ks, vs: stm.apply(
+        sv, im, ks, vs, None, method=STM.segment))
+    frame_loss = ckpt(L.fba_frame_loss)
+
     fg, bg, gt_alpha, tri = batch["fg"], batch["bg"], batch["alpha"], batch["tri"]
     B, S = fg.shape[:2]
     img = fg * gt_alpha + bg * (1.0 - gt_alpha)
@@ -263,7 +283,7 @@ def joint_train_forward(stm_vars, fba_vars, batch: Dict[str, jnp.ndarray],
     for t in range(S):
         feats8, _ = make_trimap_features(preds_trimap[t], exact_edt)
         x11 = jnp.concatenate([normalize_image(img[:, t]), feats8], axis=-1)
-        out7, hid, rout7, rtri = fba.apply(fba_vars, x11, img[:, t], feats8[..., -2:])
+        out7, hid, rout7, rtri = fba_call(fba_vars, x11, img[:, t], feats8[..., -2:])
         outs[t], routs[t], hids[t] = out7, rout7, hid
         if refinement:
             logit_trimap_refine[t] = rtri
@@ -279,22 +299,26 @@ def joint_train_forward(stm_vars, fba_vars, batch: Dict[str, jnp.ndarray],
                 else:
                     input_alpha = out7[..., 0:1]
                     input_trimap = preds_trimap[t]
-                kwargs = {}
                 if stm.hdim > 0:
-                    kwargs = dict(alpha=input_alpha[..., 0], hidden=hid)
-                k, v = stm.apply(stm_vars, img[:, t], input_trimap[..., 1],
-                                 input_trimap[..., 2], method=STM.memorize, **kwargs)
+                    k, v = stm_memorize(stm_vars, img[:, t],
+                                        input_trimap[..., 1],
+                                        input_trimap[..., 2],
+                                        input_alpha[..., 0], hid)
+                else:
+                    k, v = stm_memorize(stm_vars, img[:, t],
+                                        input_trimap[..., 1],
+                                        input_trimap[..., 2])
                 mem_k.append(k)
                 mem_v.append(v)
-                logit = stm.apply(stm_vars, img[:, t + 1],
-                                  jnp.stack(mem_k, axis=1), jnp.stack(mem_v, axis=1),
-                                  None, method=STM.segment)
+                logit = stm_segment(stm_vars, img[:, t + 1],
+                                    jnp.stack(mem_k, axis=1),
+                                    jnp.stack(mem_v, axis=1))
                 logit_trimap[t] = logit
                 preds_trimap[t + 1] = jax.nn.softmax(logit, axis=-1)
 
     def seq_loss(preds):
-        terms = [L.fba_frame_loss(preds[t], gt_trimask[:, t], gt_alpha[:, t],
-                                  fg[:, t], bg[:, t], img[:, t]) for t in range(S)]
+        terms = [frame_loss(preds[t], gt_trimask[:, t], gt_alpha[:, t],
+                            fg[:, t], bg[:, t], img[:, t]) for t in range(S)]
         L_ac = sum(x[0] for x in terms) / S
         L_gr = sum(x[1] for x in terms) / S
         L_lp = sum(x[2] for x in terms) / S
