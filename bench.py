@@ -80,16 +80,23 @@ def main():
         # chunked dispatch: same per-frame protocol, scanned on-device
         chunk_frames = jnp.stack([frames[i % len(frames)] for i in range(CHUNK)])
         false = jnp.zeros((CHUNK,), bool)
-        mems = jnp.asarray([(i % SKIP) == 0 for i in range(CHUNK)])
+
+        # memorize flags from the GLOBAL frame index (chunk_start + i), as
+        # the real runner does — deriving them from the within-chunk index
+        # would append to the bank every CHUNK frames instead of every SKIP
+        def mem_flags(start):
+            return jnp.asarray([((start + i) % SKIP) == 0 for i in range(CHUNK)])
+
         bank, a, _ = eval_chunk_step(stm_vars, fba_vars, bank, chunk_frames,
-                                     first_tri, false, mems, false,
+                                     first_tri, false, mem_flags(0), false,
                                      stage=4, max_memory_num=MAX_MEM)
         jax.block_until_ready(a)
         n_chunks = max(N_FRAMES // CHUNK, 1)
         t0 = time.perf_counter()
-        for _ in range(n_chunks):
+        for c in range(n_chunks):
             bank, a, _ = eval_chunk_step(stm_vars, fba_vars, bank, chunk_frames,
-                                         first_tri, false, mems, false,
+                                         first_tri, false, mem_flags(c * CHUNK),
+                                         false,
                                          stage=4, max_memory_num=MAX_MEM)
         jax.block_until_ready(a)
         dt = time.perf_counter() - t0

@@ -36,10 +36,14 @@ def parse_args():
     p.add_argument("--testmode", action="store_true")
     p.add_argument("--max-edge", type=int, default=None,
                    help="downscale frames so min(H,W) <= this (testmode: 256)")
+    p.add_argument("--arch", default="resnet50_GN_WS",
+                   choices=["resnet50_GN_WS", "resnet50_BN"],
+                   help="FBA trunk the checkpoint was trained with "
+                        "(Config.alpha.arch); must match for param restore")
     return p.parse_args()
 
 
-def load_weights(path, stage=4):
+def load_weights(path, stage=4, arch="resnet50_GN_WS"):
     import jax
 
     from otvm_tpu.config import get_cfg_defaults
@@ -49,6 +53,7 @@ def load_weights(path, stage=4):
 
     cfg = get_cfg_defaults()
     cfg.train.stage = stage
+    cfg.alpha.arch = arch
     state = init_train_state(cfg, jax.random.PRNGKey(0), None, 64, 64)
     if path is None:
         print("WARNING: no --weights given; using random weights")
@@ -84,10 +89,12 @@ def main():
                                           args.trimap, model_name))
 
     trimap_vars, alpha_vars = load_weights(
-        args.weights, stage=(1 if args.trimap_net else args.stage))
+        args.weights, stage=(1 if args.trimap_net else args.stage),
+        arch=args.arch)
     protocol = EvalProtocol(memory_max_num=cfg.test.memory_max_num,
                             memory_skip_frame=cfg.test.memory_skip_frame,
-                            trimap_width=args.trimap, stage=args.stage)
+                            trimap_width=args.trimap, stage=args.stage,
+                            arch=args.arch)
     if args.trimap_net:
         tev = TrimapEvaluator(trimap_vars, protocol)
         if args.demo:

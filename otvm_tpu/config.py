@@ -40,6 +40,11 @@ class TrainConfig:
     total_epochs: int = 200
     image_freq: int = -1
     save_every_epoch: int = 20
+    # Beyond reference parity (it has no AMP): bf16 compute for the train
+    # forward/backward with fp32 master params + optimizer.  Halves the
+    # activation HBM traffic of the bandwidth-bound backward (BENCH_NOTES
+    # training table); loss math stays fp32.
+    bf16: bool = False
 
 
 @dataclasses.dataclass

@@ -30,6 +30,32 @@ import numpy as np
 from . import augs
 
 
+class _FrameCache:
+    """Decoded-image RAM cache (path -> uint8 array).
+
+    The reference amortizes decode cost with 8 DataLoader *processes* per
+    rank (train.py:294-301); this host has one core, so we trade RAM for
+    decode instead: with repeats=20 per epoch every frame is re-read ~20x
+    per epoch and the working set (<= a few GB as uint8) fits easily.
+    Thread-safe under the GIL (worst case: a duplicate decode)."""
+
+    def __init__(self, max_bytes: int = 16 << 30):
+        self._store: Dict[str, np.ndarray] = {}
+        self._bytes = 0
+        self.max_bytes = max_bytes
+
+    def imread(self, path: str, flags) -> np.ndarray:
+        import cv2
+
+        hit = self._store.get(path)
+        if hit is None:
+            hit = cv2.imread(path, flags)
+            if self._bytes + hit.nbytes <= self.max_bytes:
+                self._store[path] = hit
+                self._bytes += hit.nbytes
+        return hit
+
+
 # ---------------------------------------------------------------------------
 # shared pieces
 # ---------------------------------------------------------------------------
@@ -42,34 +68,62 @@ def _object_centric_crop(rnd, frames: np.ndarray, masks: Optional[np.ndarray],
     real = frames[0].shape[:2]
     min_scale = max(size[0] / real[0], size[1] / real[1])
     do_mask = masks is not None
+    # only <=3 distinct scales exist; the retry loop (up to 100x1000 tries,
+    # reference heuristic dataset.py:318-357) must not re-resize per try —
+    # memoize the resized pyramid per scale (identical arrays, 30x fewer
+    # cv2.resize calls on this 1-core host)
+    rz_cache = {}
+
+    def resized(scale):
+        if scale not in rz_cache:
+            dsize = (int(real[1] * scale), int(real[0] * scale))
+            if dsize == (real[1], real[0]):
+                rz_cache[scale] = (np.stack(frames),
+                                   np.stack(masks) if do_mask else None)
+            else:
+                f = np.stack([cv2.resize(f, dsize,
+                                         interpolation=cv2.INTER_LINEAR)
+                              for f in frames])
+                m = np.stack([cv2.resize(m, dsize,
+                                         interpolation=cv2.INTER_LINEAR)
+                              for m in masks]) if do_mask else None
+                rz_cache[scale] = (f, m)
+        return rz_cache[scale]
+
+    # The reference evaluates up to outer_tries x 1000 candidate centers one
+    # Python iteration at a time (dataset.py:333-354); at 100k iterations
+    # that dominates sample cost on this host.  Same heuristic, vectorized:
+    # draw all 1000 centers per outer try at once and test the strict
+    # unknown-band condition in one fancy-indexing op; the coverage fallback
+    # (last 100 candidates of the last outer try) stays a loop — it runs at
+    # most 100 times total.
     for t in range(outer_tries):
         scale = max(rnd.choice([1.0, 1 / 1.5, 1 / 2.0]), min_scale + 0.01)
-        dsize = (int(real[1] * scale), int(real[0] * scale))
-        rz_f = np.stack([cv2.resize(f, dsize, interpolation=cv2.INTER_LINEAR)
-                         for f in frames])
-        if do_mask:
-            rz_m = np.stack([cv2.resize(m, dsize, interpolation=cv2.INTER_LINEAR)
-                             for m in masks])
-        np_in1 = None
-        for tt in range(center_tries):
+        rz_f, rz_m = resized(scale)
+        if not do_mask:
             cr_y = rnd.randint(0, rz_f.shape[1] - size[0] + 1)
             cr_x = rnd.randint(0, rz_f.shape[2] - size[1] + 1)
-            if not do_mask:
-                break
-            cval = rz_m[0, cr_y + size[0] // 2, cr_x + size[1] // 2]
-            if tt < center_tries - 100 or t < outer_tries - 1:
-                if 0.2 * 255 < cval < 0.8 * 255:
-                    break
-            else:
-                if np_in1 is None:
-                    np_in1 = ((rz_m[0] > 0.2 * 255) & (rz_m[0] < 0.8 * 255)).sum()
-                crop = rz_m[0, cr_y:cr_y + size[0], cr_x:cr_x + size[1]]
+            break
+        ys = rnd.randint(0, rz_f.shape[1] - size[0] + 1, center_tries)
+        xs = rnd.randint(0, rz_f.shape[2] - size[1] + 1, center_tries)
+        last = t == outer_tries - 1
+        n_strict = center_tries - 100 if last else center_tries
+        cvals = rz_m[0, ys[:n_strict] + size[0] // 2, xs[:n_strict] + size[1] // 2]
+        ok = (cvals > 0.2 * 255) & (cvals < 0.8 * 255)
+        hit = int(np.argmax(ok)) if ok.any() else -1
+        if hit >= 0:
+            cr_y, cr_x = int(ys[hit]), int(xs[hit])
+            break
+        if last:
+            np_in1 = ((rz_m[0] > 0.2 * 255) & (rz_m[0] < 0.8 * 255)).sum()
+            cr_y, cr_x = int(ys[-1]), int(xs[-1])     # ultimate fallback
+            for tt in range(n_strict, center_tries):
+                crop = rz_m[0, ys[tt]:ys[tt] + size[0], xs[tt]:xs[tt] + size[1]]
                 ur = (crop > 0.2 * 255) & (crop < 0.8 * 255)
                 if ur.sum() > 0.5 * np_in1 or ur.mean() > 0.01 / 255.0:
+                    cr_y, cr_x = int(ys[tt]), int(xs[tt])
                     break
-        else:
-            continue
-        break
+            break
     f = rz_f[:, cr_y:cr_y + size[0], cr_x:cr_x + size[1]]
     m = rz_m[:, cr_y:cr_y + size[0], cr_x:cr_x + size[1]] if do_mask else None
     return f, m
@@ -196,13 +250,14 @@ class DIMTrain:
     def __init__(self, fg_alpha_pairs: Sequence[Tuple[str, str]],
                  bg_paths: Sequence[str], image_shape=(320, 320),
                  sample_length=3,
-                 probs=None):
+                 probs=None, cache_frames=True):
         self.pairs = list(fg_alpha_pairs)
         self.bgs = list(bg_paths)
         self.image_shape = tuple(image_shape)
         self.sample_length = sample_length
         self.probs = probs or dict(gamma=0.5, hist=0.5, motion=0.5,
                                    gauss=0.5, jpeg=0.5)
+        self._cache = _FrameCache() if cache_frames else None
 
     @classmethod
     def from_adobe_layout(cls, data_root: str, **kw):
@@ -234,11 +289,12 @@ class DIMTrain:
         import cv2
 
         rnd = rnd or np.random.RandomState()
+        imread = self._cache.imread if self._cache else cv2.imread
         fgp, ap = self.pairs[idx]
-        fg0 = cv2.imread(fgp, cv2.IMREAD_COLOR).astype(np.float32)
-        a0 = cv2.imread(ap, cv2.IMREAD_GRAYSCALE).astype(np.float32)
-        bg0 = cv2.imread(self.bgs[rnd.randint(0, len(self.bgs))],
-                         cv2.IMREAD_COLOR).astype(np.float32)
+        fg0 = imread(fgp, cv2.IMREAD_COLOR).astype(np.float32)
+        a0 = imread(ap, cv2.IMREAD_GRAYSCALE).astype(np.float32)
+        bg0 = imread(self.bgs[rnd.randint(0, len(self.bgs))],
+                     cv2.IMREAD_COLOR).astype(np.float32)
         S = self.sample_length
         fgl, bgl, al = [], [], []
         for _ in range(S):
@@ -280,7 +336,7 @@ class VM108Train:
     frame_corr.json, train_videos.txt}."""
 
     def __init__(self, data_root: str, image_shape=(320, 320), sample_length=3,
-                 max_skip=75, mode="train", probs=None):
+                 max_skip=75, mode="train", probs=None, cache_frames=True):
         import json
 
         self.root = os.path.join(data_root, "VideoMatting108")
@@ -301,6 +357,7 @@ class VM108Train:
                    if os.path.dirname(k) == v]
             self.FG.append([os.path.join("FG_done", k) for k in fns])
             self.BG.append([os.path.join("BG_done2", self.frame_corr[k]) for k in fns])
+        self._cache = _FrameCache() if cache_frames else None
 
     def __len__(self):
         return len(self.FG)
@@ -333,9 +390,10 @@ class VM108Train:
         st_b = rnd.randint(0, len(bg_paths) - S - cum[-1])
         bg_sel = [bg_paths[st_b + c] for c in cum]
 
+        imread = self._cache.imread if self._cache else cv2.imread
         fgs, als, bgs = [], [], []
         for p in fg_sel:
-            raw = cv2.imread(os.path.join(self.root, p), cv2.IMREAD_UNCHANGED)
+            raw = imread(os.path.join(self.root, p), cv2.IMREAD_UNCHANGED)
             fgs.append(raw[..., :3].astype(np.float32))
             als.append(raw[..., 3].astype(np.float32))
         if als[0].sum() < 1:
@@ -344,7 +402,7 @@ class VM108Train:
             bp = os.path.join(self.root, p)
             if not os.path.exists(bp):
                 bp = os.path.splitext(bp)[0] + ".png"
-            bgs.append(cv2.imread(bp, cv2.IMREAD_COLOR).astype(np.float32))
+            bgs.append(imread(bp, cv2.IMREAD_COLOR).astype(np.float32))
 
         fg, a = _object_centric_crop(rnd, np.stack(fgs), np.stack(als),
                                      self.image_shape, outer_tries=100)

@@ -26,6 +26,13 @@ def epoch_indices(n_items: int, epoch: int, repeats: int = 20, seed: int = 111,
     idx = np.tile(np.arange(n_items), repeats)
     rng = np.random.RandomState(seed + epoch)
     rng.shuffle(idx)
+    # Pad to a multiple of process_count (torch DistributedSampler semantics,
+    # train.py:475-480): without this, shard lengths differ by 1 when
+    # n_items*repeats % process_count != 0 and the longer-shard process hangs
+    # in the jitted collective on its extra final batch.
+    pad = (-len(idx)) % process_count
+    if pad:
+        idx = np.concatenate([idx, idx[:pad]])
     return idx[process_index::process_count]
 
 

@@ -176,7 +176,11 @@ def trimap_iou(pred3: np.ndarray, gt3: np.ndarray) -> float:
 
 
 def label_iou(p: np.ndarray, g: np.ndarray, n_classes: int = 3) -> float:
-    """Mean IoU over integer label maps (any shape)."""
+    """Mean IoU over integer label maps (any shape).
+
+    Micro aggregation (pixels pooled across batch/frames, absent classes
+    skipped, range 0-1) — simple and well-suited to whole-video scoring,
+    but NOT the reference's in-training number; see `reference_iou`."""
     ious = []
     for c in range(n_classes):
         inter = np.logical_and(p == c, g == c).sum()
@@ -184,6 +188,25 @@ def label_iou(p: np.ndarray, g: np.ndarray, n_classes: int = 3) -> float:
         if union > 0:
             ious.append(inter / union)
     return float(np.mean(ious)) if ious else 1.0
+
+
+def reference_iou(p: np.ndarray, g: np.ndarray, n_classes: int = 3) -> float:
+    """EXACT reference in-training IoU (train_s1_trimap.py:287-303):
+    per-(sample,frame) IoU with 1e-4 smoothing on both numerator and
+    denominator (absent classes score 100), averaged over batch/frames
+    per class, then macro-averaged over classes, x100.
+
+    p, g: integer label maps [..., H, W] (spatial dims last)."""
+    flat_p = p.reshape(-1, p.shape[-2] * p.shape[-1])
+    flat_g = g.reshape(-1, g.shape[-2] * g.shape[-1])
+    per_class = []
+    for c in range(n_classes):
+        x = flat_p == c
+        y = flat_g == c
+        i = np.logical_and(x, y).sum(-1).astype(np.float64)
+        u = np.logical_or(x, y).sum(-1).astype(np.float64)
+        per_class.append(((i + 1e-4) / (u + 1e-4)).mean() * 100.0)
+    return float(np.mean(per_class))
 
 
 def video_metrics(pred, target, mask=None):

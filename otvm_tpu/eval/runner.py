@@ -38,10 +38,23 @@ class EvalProtocol:
     memory_skip_frame: int = 10
     trimap_width: str = "medium"
     stage: int = 4
+    arch: str = "resnet50_GN_WS"     # FBA trunk of the checkpoint being run
     large_input_edge: int = 1100     # eval.py:184
     chunk: int = 1                   # frames per device dispatch (lax.scan);
                                      # >1 amortizes dispatch for offline
                                      # streams, identical per-frame protocol
+    pad_multiple: int = 32           # pad H,W up to this multiple.  32 is
+                                     # the reference protocol
+                                     # (models/alpha/model.py:408-410); on a
+                                     # mixed-resolution set (VM108 has
+                                     # heterogeneous per-video sizes,
+                                     # dataset.py:880-957) raise to 64/128
+                                     # to BOUND the number of resolution
+                                     # buckets (= jit compiles): each unique
+                                     # padded (H,W) compiles once.  Outputs
+                                     # are unpadded back, so only conv
+                                     # border context changes (zero-pad /
+                                     # bg-pad region grows).
 
     def flags(self, n_frames: int, height: int, width: int):
         """Per-frame (first, memorize, last) + effective bank size."""
@@ -58,9 +71,9 @@ class EvalProtocol:
         return out, max_num, large
 
 
-def _pad_frame(frame: np.ndarray, tri: Optional[np.ndarray]):
+def _pad_frame(frame: np.ndarray, tri: Optional[np.ndarray], multiple: int = 32):
     h, w = frame.shape[:2]
-    lw, uw, lh, uh = divide_pad_amounts(h, w, 32)
+    lw, uw, lh, uh = divide_pad_amounts(h, w, multiple)
     pad = ((lh, uh), (lw, uw))
     f = np.pad(frame, (*pad, (0, 0)))
     t = None
@@ -107,7 +120,8 @@ class StreamingEvaluator:
         h, w = frames01[0].shape[:2]
         flags, max_num, _ = self.protocol.flags(n, h, w)
 
-        f0, t0, pad = _pad_frame(frames01[0], first_trimap3)
+        f0, t0, pad = _pad_frame(frames01[0], first_trimap3,
+                                 self.protocol.pad_multiple)
         ph, pw = f0.shape[:2]
         bank = make_eval_bank(1, ph, pw, max_num)
         first_tri_dev = jnp.asarray(t0[None])
@@ -121,13 +135,16 @@ class StreamingEvaluator:
         else:
             pending = None  # (EvalOutput, pad) — overlap host prep with device
             for i in range(n):
-                f, _, pad = _pad_frame(frames01[i], None) if i else (f0, t0, pad)
+                f, _, pad = (_pad_frame(frames01[i], None,
+                                        self.protocol.pad_multiple)
+                             if i else (f0, t0, pad))
                 first, memorize, last = flags[i]
                 out = eval_frame_step(
                     self.trimap_vars, self.alpha_vars, bank,
                     jnp.asarray(f[None]), first_tri_dev,
                     jnp.asarray(first), jnp.asarray(memorize), jnp.asarray(last),
-                    stage=self.protocol.stage, max_memory_num=max_num)
+                    stage=self.protocol.stage, max_memory_num=max_num,
+                    arch=self.protocol.arch)
                 bank = out.bank
                 if pending is not None:
                     self._collect(pending, alphas, trimaps)
@@ -157,25 +174,29 @@ class StreamingEvaluator:
                      pad, f0, alphas, trimaps):
         """Dispatch `chunk` frames per device call (eval_chunk_step);
         the tail chunk is padded with repeats of the last frame under
-        all-False flags (no memorize -> no bank mutation) and its padded
-        outputs dropped."""
+        last=True flags — last_frame is the only flag that genuinely skips
+        the bank update in _eval_frame_core (memorize=False alone still
+        takes the rolling-replace path), so the returned bank is unchanged
+        by padding and safe to reuse mid-stream.  Padded outputs dropped."""
         n = len(frames01)
         C = self.protocol.chunk
         for lo in range(0, n, C):
             hi = min(lo + C, n)
-            fs = [f0 if i == 0 else _pad_frame(frames01[i], None)[0]
+            fs = [f0 if i == 0 else
+                  _pad_frame(frames01[i], None, self.protocol.pad_multiple)[0]
                   for i in range(lo, hi)]
             fl = list(flags[lo:hi])
             while len(fs) < C:                      # tail padding
                 fs.append(fs[-1])
-                fl.append((False, False, False))
+                fl.append((False, False, True))
             frames_dev = jnp.asarray(np.stack(fs)[:, None])   # [C,1,H,W,3]
             firsts, mems, lasts = (jnp.asarray([f[k] for f in fl])
                                    for k in range(3))
             bank, a, t = eval_chunk_step(
                 self.trimap_vars, self.alpha_vars, bank,
                 frames_dev, first_tri_dev, firsts, mems, lasts,
-                stage=self.protocol.stage, max_memory_num=max_num)
+                stage=self.protocol.stage, max_memory_num=max_num,
+                arch=self.protocol.arch)
             a, t = np.asarray(a), np.asarray(t)
             for j in range(hi - lo):
                 alphas.append(_unpad(a[j, 0, :, :, 0], pad))
@@ -193,10 +214,12 @@ class StreamingEvaluator:
         alphas, trimaps = [], []
         t_start = time.perf_counter()
         for i in range(n):
-            f, t, pad = _pad_frame(frames01[i], tris[i])
+            f, t, pad = _pad_frame(frames01[i], tris[i],
+                                   self.protocol.pad_multiple)
             alpha, _ = alpha_predict(self.alpha_vars, jnp.asarray(f[None]),
                                      jnp.asarray(t[None]),
-                                     stage=self.protocol.stage)
+                                     stage=self.protocol.stage,
+                                     arch=self.protocol.arch)
             alphas.append(_unpad(np.asarray(alpha[0, :, :, 0]), pad))
             trimaps.append(tris[i])
         fps = n / (time.perf_counter() - t_start)
@@ -229,14 +252,17 @@ class TrimapEvaluator:
         n = len(frames01)
         h, w = frames01[0].shape[:2]
         flags, max_num, _ = self.protocol.flags(n, h, w)
-        f0, t0, pad = _pad_frame(frames01[0], first_trimap3)
+        f0, t0, pad = _pad_frame(frames01[0], first_trimap3,
+                                 self.protocol.pad_multiple)
         ph, pw = f0.shape[:2]
         bank = make_eval_bank(1, ph, pw, max_num)
         first_tri_dev = jnp.asarray(t0[None])
         trimaps = []
         t_start = time.perf_counter()
         for i in range(n):
-            f, _, pad = _pad_frame(frames01[i], None) if i else (f0, t0, pad)
+            f, _, pad = (_pad_frame(frames01[i], None,
+                                    self.protocol.pad_multiple)
+                         if i else (f0, t0, pad))
             first, memorize, _ = flags[i]
             bank, pred = trimap_eval_step(
                 self.stm_vars, bank, jnp.asarray(f[None]), first_tri_dev,

@@ -228,7 +228,8 @@ def trimap_eval_step(stm_vars, bank: MemoryBank, frame01: jnp.ndarray,
 
 def joint_train_forward(stm_vars, fba_vars, batch: Dict[str, jnp.ndarray],
                         stage: int, exact_edt: bool = False,
-                        arch: str = "resnet50_GN_WS"):
+                        arch: str = "resnet50_GN_WS",
+                        compute_dtype=None):
     """Training forward + loss, == alpha FullModel.forward.
 
     batch (all NHWC, S = frames per clip):
@@ -238,9 +239,21 @@ def joint_train_forward(stm_vars, fba_vars, batch: Dict[str, jnp.ndarray],
     Returns (total_loss, aux dict with sub-losses and visuals).
     Loss composition per train.py:355-366: L_alpha_comp + L_lap + L_grad
     (+ L_tri when stage > 1).
+
+    compute_dtype=jnp.bfloat16 runs the network forward/backward (and the
+    temporal cross-feed) in bf16 — params are cast at entry (grads flow back
+    to the caller's fp32 masters through the cast), while GT tensors and all
+    loss arithmetic stay fp32 (network outputs are upcast before the loss).
+    Beyond reference parity: the reference has no AMP.
     """
     stm, fba, refinement = _models(stage, arch)
     use_trimap_net = stage > 1
+
+    if compute_dtype is not None:
+        _c = lambda t: jax.tree_util.tree_map(
+            lambda x: x.astype(compute_dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+        stm_vars, fba_vars = _c(stm_vars), _c(fba_vars)
 
     # OTVM_REMAT=1: rematerialize each frame's FBA forward in the backward
     # pass (jax.checkpoint).  The S-frame cross-feeding loop otherwise keeps
@@ -265,6 +278,9 @@ def joint_train_forward(stm_vars, fba_vars, batch: Dict[str, jnp.ndarray],
     fg, bg, gt_alpha, tri = batch["fg"], batch["bg"], batch["alpha"], batch["tri"]
     B, S = fg.shape[:2]
     img = fg * gt_alpha + bg * (1.0 - gt_alpha)
+    # `img` stays fp32 for the loss (composition targets); `img_c` feeds the
+    # networks in the compute dtype.
+    img_c = img.astype(compute_dtype) if compute_dtype is not None else img
 
     # trimask for the loss comes from the GT trimap (preprocess path,
     # models/alpha/model.py:55-64); clicks are not needed for the GT.
@@ -276,14 +292,14 @@ def joint_train_forward(stm_vars, fba_vars, batch: Dict[str, jnp.ndarray],
     logit_trimap_refine = [None] * S
     outs, routs, hids = [None] * S, [None] * S, [None] * S
 
-    preds_trimap[0] = tri[:, 0]
-    preds_trimap_refine[0] = tri[:, 0]
+    preds_trimap[0] = tri[:, 0].astype(img_c.dtype)
+    preds_trimap_refine[0] = preds_trimap[0]
     mem_k, mem_v = [], []
 
     for t in range(S):
         feats8, _ = make_trimap_features(preds_trimap[t], exact_edt)
-        x11 = jnp.concatenate([normalize_image(img[:, t]), feats8], axis=-1)
-        out7, hid, rout7, rtri = fba_call(fba_vars, x11, img[:, t], feats8[..., -2:])
+        x11 = jnp.concatenate([normalize_image(img_c[:, t]), feats8], axis=-1)
+        out7, hid, rout7, rtri = fba_call(fba_vars, x11, img_c[:, t], feats8[..., -2:])
         outs[t], routs[t], hids[t] = out7, rout7, hid
         if refinement:
             logit_trimap_refine[t] = rtri
@@ -291,7 +307,7 @@ def joint_train_forward(stm_vars, fba_vars, batch: Dict[str, jnp.ndarray],
                 preds_trimap_refine[t] = jax.nn.softmax(rtri, axis=-1)
         if t < S - 1:
             if not use_trimap_net:
-                preds_trimap[t + 1] = tri[:, t + 1]
+                preds_trimap[t + 1] = tri[:, t + 1].astype(img_c.dtype)
             else:
                 if refinement:
                     input_alpha = rout7[..., 0:1]
@@ -300,24 +316,26 @@ def joint_train_forward(stm_vars, fba_vars, batch: Dict[str, jnp.ndarray],
                     input_alpha = out7[..., 0:1]
                     input_trimap = preds_trimap[t]
                 if stm.hdim > 0:
-                    k, v = stm_memorize(stm_vars, img[:, t],
+                    k, v = stm_memorize(stm_vars, img_c[:, t],
                                         input_trimap[..., 1],
                                         input_trimap[..., 2],
                                         input_alpha[..., 0], hid)
                 else:
-                    k, v = stm_memorize(stm_vars, img[:, t],
+                    k, v = stm_memorize(stm_vars, img_c[:, t],
                                         input_trimap[..., 1],
                                         input_trimap[..., 2])
                 mem_k.append(k)
                 mem_v.append(v)
-                logit = stm_segment(stm_vars, img[:, t + 1],
+                logit = stm_segment(stm_vars, img_c[:, t + 1],
                                     jnp.stack(mem_k, axis=1),
                                     jnp.stack(mem_v, axis=1))
                 logit_trimap[t] = logit
                 preds_trimap[t + 1] = jax.nn.softmax(logit, axis=-1)
 
     def seq_loss(preds):
-        terms = [frame_loss(preds[t], gt_trimask[:, t], gt_alpha[:, t],
+        # loss arithmetic is always fp32 (network outputs upcast here)
+        terms = [frame_loss(preds[t].astype(jnp.float32), gt_trimask[:, t],
+                            gt_alpha[:, t],
                             fg[:, t], bg[:, t], img[:, t]) for t in range(S)]
         L_ac = sum(x[0] for x in terms) / S
         L_gr = sum(x[1] for x in terms) / S
@@ -340,11 +358,11 @@ def joint_train_forward(stm_vars, fba_vars, batch: Dict[str, jnp.ndarray],
 
     if use_trimap_net:
         gt_labels = jnp.argmax(tri[:, 1:], axis=-1)          # [B, S-1, H, W]
-        lt = jnp.stack(logit_trimap, axis=1)
+        lt = jnp.stack(logit_trimap, axis=1).astype(jnp.float32)
         loss_trimap = L.cross_entropy(lt, gt_labels)
         if refinement:
             gt_all = jnp.argmax(tri, axis=-1)
-            ltr = jnp.stack(logit_trimap_refine, axis=1)
+            ltr = jnp.stack(logit_trimap_refine, axis=1).astype(jnp.float32)
             loss_trimap = loss_trimap + L.cross_entropy(ltr, gt_all)
     else:
         loss_trimap = jnp.zeros(())
@@ -366,14 +384,21 @@ def joint_train_forward(stm_vars, fba_vars, batch: Dict[str, jnp.ndarray],
 # ---------------------------------------------------------------------------
 
 def trimap_train_forward(stm_vars, batch: Dict[str, jnp.ndarray],
-                         ignore_label: int = 255):
+                         ignore_label: int = 255, compute_dtype=None):
     """== trimap FullModel._forward stage 1 (models/trimap/model.py:75-131).
 
     batch: img [B,S,H,W,3] in [0,1], tri [B,S,H,W,3] one-hot float.
     The reference's per-item python loop (b=1 only, model.py:87) is replaced
-    by real batching.  Returns (loss, aux with stacked predictions)."""
+    by real batching.  Returns (loss, aux with stacked predictions).
+    compute_dtype: see joint_train_forward (CE stays fp32)."""
     stm = STM(hdim=-1)
     img, tri = batch["img"], batch["tri"]
+    if compute_dtype is not None:
+        stm_vars = jax.tree_util.tree_map(
+            lambda x: x.astype(compute_dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, stm_vars)
+        img = img.astype(compute_dtype)
+        tri = tri.astype(compute_dtype)
     B, S = img.shape[:2]
 
     Es = [tri[:, 0]] + [None] * (S - 1)
@@ -391,7 +416,8 @@ def trimap_train_forward(stm_vars, batch: Dict[str, jnp.ndarray],
         Es[t] = jax.nn.softmax(logit, axis=-1)
 
     gt = jnp.argmax(tri, axis=-1)                       # [B, S, H, W]
-    loss = sum(L.cross_entropy(logits_list[t - 1], gt[:, t], ignore_label)
+    loss = sum(L.cross_entropy(logits_list[t - 1].astype(jnp.float32),
+                               gt[:, t], ignore_label)
                for t in range(1, S)) / float(S - 1)
     preds = jnp.stack([Es[t] for t in range(S)], axis=1)
     return loss, dict(pred=preds)

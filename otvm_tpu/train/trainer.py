@@ -74,15 +74,25 @@ def _stm_vars(state: TrainState):
     return v
 
 
+def _compute_dtype(cfg: Config):
+    """cfg.train.bf16 (or OTVM_TRAIN_BF16=1) -> bf16 network compute with
+    fp32 master params/optimizer; see joint_train_forward."""
+    import os
+    if cfg.train.bf16 or os.environ.get("OTVM_TRAIN_BF16", "0") == "1":
+        return jnp.bfloat16
+    return None
+
+
 def make_train_step(cfg: Config, tx: optax.GradientTransformation):
     stage = cfg.train.stage
     arch = cfg.alpha.arch
+    cdt = _compute_dtype(cfg)
 
     def loss_fn(params, batch_stats, batch):
         stm_vars = {"params": params["stm"], "batch_stats": batch_stats}
         fba_vars = {"params": params["fba"]}
         total, aux = joint_train_forward(stm_vars, fba_vars, batch, stage,
-                                         arch=arch)
+                                         arch=arch, compute_dtype=cdt)
         return total, aux
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -118,10 +128,11 @@ def make_viz_forward(cfg: Config):
 
 def make_trimap_s1_train_step(cfg: Config, tx: optax.GradientTransformation):
     """train_s1_trimap.py equivalent: STM-only CE training."""
+    cdt = _compute_dtype(cfg)
 
     def loss_fn(params, batch_stats, batch):
         stm_vars = {"params": params["stm"], "batch_stats": batch_stats}
-        return trimap_train_forward(stm_vars, batch)
+        return trimap_train_forward(stm_vars, batch, compute_dtype=cdt)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch):

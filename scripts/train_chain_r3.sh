@@ -1,0 +1,41 @@
+#!/bin/bash
+# Round-3 training chain on the scaled synthetic dataset: the full
+# s1t -> s1 -> s2 -> s3 -> s4 stage matrix (reference train.py:86-168) at
+# the reference crop (320px, S=3), sized to this image's single v5e chip.
+#
+# From-scratch notes (the reference fine-tunes ImageNet/STM/FBA pretrained
+# trunks, none of which are in this image):
+#   * higher base LRs than the reference's fine-tuning 1e-5;
+#   * stair decay within each stage (x0.1 at 90% of stage iters) as in
+#     helpers.py:183-198.
+# Usage: bash scripts/train_chain_r3.sh [DATA_ROOT] [BATCH]
+set -e
+cd "$(dirname "$0")/.."
+DATA=${1:-/tmp/synth_data}
+B=${2:-4}
+SIZE=${SIZE:-320}
+PREC=${PREC:---bf16}
+E1T=${E1T:-8}; E1=${E1:-12}; E2=${E2:-4}; E3=${E3:-4}; E4=${E4:-20}
+
+echo "=== s1 trimap (STM pretrain, from scratch) ==="
+python train_s1_trimap.py --data-root "$DATA" --input-size $SIZE $PREC \
+    --epochs $E1T --batch-size $B --lr 1e-4
+
+echo "=== s1 alpha (FBA alone, GT trimaps) ==="
+python train.py --stage 1 --data-root "$DATA" --input-size $SIZE $PREC \
+    --epochs $E1 --batch-size $B --lr 1e-4
+
+echo "=== s2 (alpha trained, trimap frozen) ==="
+python train.py --stage 2 --data-root "$DATA" --input-size $SIZE $PREC \
+    --epochs $E2 --batch-size $B --lr 5e-5 \
+    --init weights/s1_OTVM_alpha --init-trimap weights/s1_OTVM_trimap
+
+echo "=== s3 (trimap trained, alpha frozen) ==="
+python train.py --stage 3 --data-root "$DATA" --input-size $SIZE $PREC \
+    --epochs $E3 --batch-size $B --lr 5e-5 --init weights/s2_OTVM_alpha
+
+echo "=== s4 joint on synthetic VM108 ==="
+python train.py --stage 4 --data-root "$DATA" --input-size $SIZE $PREC \
+    --epochs $E4 --batch-size $B --lr 3e-5 --init weights/s3_OTVM
+
+echo "chain done; checkpoints in weights/"

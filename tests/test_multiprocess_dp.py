@@ -73,6 +73,72 @@ print(f"proc {pid} OK loss={float(loss):.6f}")
 """
 
 
+# The REAL s4 train step across process boundaries (VERDICT r2 missing #3):
+# each process builds make_train_step(cfg) at the dryrun shapes (64px, S=2)
+# over the 2-process x 2-device mesh, runs 3 steps of the full joint model
+# (fwd + bwd + RAdam), and prints the loss sequence + final param norm.  A
+# separate single-process 4-device run on the same data must match to fp
+# tolerance — the DDP gradient-semantics check of train.py:137-142.
+WORKER_S4 = r"""
+import os, sys
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+args = sys.argv[1:]
+if args[0] == "single":
+    pid, nproc = 0, 1
+else:
+    port, pid, nproc = args[0], int(args[1]), 2
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=2, process_id=pid)
+sys.path.insert(0, os.environ["OTVM_REPO"])
+from otvm_tpu.config import get_cfg_defaults
+from otvm_tpu.data.loader import epoch_indices
+from otvm_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from otvm_tpu.train.trainer import (init_train_state, make_optimizer,
+                                    make_train_step)
+
+assert jax.device_count() == 4
+mesh = make_mesh()
+
+H = W = 64; S = 2; B = 4
+cfg = get_cfg_defaults()
+cfg.train.stage = 4
+cfg.train.frame_num = S
+cfg.train.batch_size = B
+
+# identical init on every process (seed-keyed, like restoring a checkpoint)
+state = init_train_state(cfg, jax.random.PRNGKey(0), None, H, W)
+tx = make_optimizer(cfg, state.params, iters_per_epoch=10)
+state = state.replace(opt_state=tx.init(state.params))
+train_step = make_train_step(cfg, tx)
+
+rng = np.random.RandomState(0)
+tri_lab = rng.randint(0, 3, (B, S, H, W))
+data = dict(
+    fg=rng.rand(B, S, H, W, 3).astype(np.float32),
+    bg=rng.rand(B, S, H, W, 3).astype(np.float32),
+    alpha=rng.rand(B, S, H, W, 1).astype(np.float32),
+    tri=np.eye(3, dtype=np.float32)[tri_lab],
+)
+
+idx = epoch_indices(B, epoch=0, repeats=1, seed=3,
+                    process_index=pid, process_count=nproc)
+local = {k: v[idx] for k, v in data.items()}
+state = jax.tree_util.tree_map(lambda x: replicate(mesh, x), state)
+batch = shard_batch(mesh, local)
+
+losses = []
+for _ in range(3):
+    state, metrics = train_step(state, batch)
+    losses.append(float(metrics["loss"]))
+pn = float(jnp.sqrt(sum(jnp.sum(jnp.square(x))
+                        for x in jax.tree_util.tree_leaves(state.params))))
+print("RESULT", " ".join(f"{l:.6f}" for l in losses), f"{pn:.6f}")
+"""
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -100,3 +166,53 @@ def test_two_process_dp(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out}"
         assert f"proc {i} OK" in out
+
+
+def _parse_result(out: str):
+    for line in out.splitlines():
+        if line.startswith("RESULT"):
+            vals = [float(v) for v in line.split()[1:]]
+            return np.asarray(vals)
+    raise AssertionError(f"no RESULT line in:\n{out}")
+
+
+@pytest.mark.slow
+def test_two_process_dp_real_s4_step(tmp_path):
+    """The full joint s4 train step across 2 processes == 1 process
+    (DDP gradient semantics, train.py:137-142)."""
+    script = tmp_path / "worker_s4.py"
+    script.write_text(WORKER_S4)
+    base_env = dict(
+        os.environ,
+        OTVM_REPO=REPO,
+        JAX_PLATFORMS="cpu",
+        JAX_PLATFORM_NAME="cpu",
+    )
+    # opt-level 0: sharding/collective validation, not perf (same flag the
+    # driver's dryrun_multichip uses for this graph)
+    two_env = dict(base_env, XLA_FLAGS=(
+        "--xla_force_host_platform_device_count=2 "
+        "--xla_backend_optimization_level=0"))
+    one_env = dict(base_env, XLA_FLAGS=(
+        "--xla_force_host_platform_device_count=4 "
+        "--xla_backend_optimization_level=0"))
+
+    port = _free_port()
+    procs = [subprocess.Popen([sys.executable, str(script), str(port), str(i)],
+                              env=two_env, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for i in range(2)]
+    outs = [p.communicate(timeout=1800)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-4000:]}"
+    res2 = [_parse_result(o) for o in outs]
+    np.testing.assert_allclose(res2[0], res2[1], rtol=1e-6)   # procs agree
+
+    single = subprocess.run([sys.executable, str(script), "single"],
+                            env=one_env, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True, timeout=1800)
+    assert single.returncode == 0, single.stdout[-4000:]
+    res1 = _parse_result(single.stdout)
+    # losses (3 steps through updated params) + final param norm match to fp
+    # tolerance: cross-process psum == single-process mean
+    np.testing.assert_allclose(res2[0], res1, rtol=2e-4, atol=2e-5)

@@ -46,6 +46,8 @@ def parse_args():
                    help="square train crop override (default 320)")
     p.add_argument("--lr", type=float, default=None,
                    help="base LR override (default 1e-5)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 network compute, fp32 master params/optimizer")
     return p.parse_args()
 
 
@@ -82,6 +84,8 @@ def main():
         cfg.train.train_input_size = (args.input_size, args.input_size)
     if args.lr:
         cfg.train.base_lr = args.lr
+    if args.bf16:
+        cfg.train.bf16 = True
 
     init_distributed()
     mesh = make_mesh()
@@ -162,13 +166,21 @@ def main():
                         seed=cfg.system.random_seed + epoch,
                         num_threads=cfg.system.num_workers)
         image_freq = cfg.train.image_freq if cfg.train.image_freq > 0 else None
+        # loss stays a device array between log lines: float() every step
+        # forces a host sync per iteration, serializing dispatch against
+        # compute (the reference also only syncs at PRINT_FREQ,
+        # train.py:379-386).  We accumulate lazily on device and pay ONE
+        # sync per 50 steps.
+        loss_acc, n_acc = None, 0
         for i, batch in enumerate(loader):
             if cfg.system.testmode and i > 20:
                 break
             host_batch = batch
             batch = shard_batch(mesh, batch)
             state, metrics = train_step(state, batch)
-            loss = float(metrics["loss"])
+            loss_acc = metrics["loss"] if loss_acc is None \
+                else loss_acc + metrics["loss"]
+            n_acc += 1
             if image_freq and i % image_freq == 0 and jax.process_index() == 0:
                 from otvm_tpu.train.trainer import make_viz_forward
                 from otvm_tpu.utils.viz import save_train_grid
@@ -177,11 +189,14 @@ def main():
                 save_train_grid(os.path.join(run_dir, "images",
                                              f"e{epoch}_i{i}.jpg"),
                                 host_batch, main._viz_fwd(state, batch))
-            loss_meter.update(loss)
             dt = timer.tick()
-            if i % 50 == 0 and jax.process_index() == 0:
-                logger.info(f"E{epoch} I{i} loss {loss:.4f} ({loss_meter.avg:.4f}) "
-                            f"{dt*1000:.0f} ms/it")
+            if i % 50 == 0:
+                loss = float(metrics["loss"])                 # one sync
+                loss_meter.update(float(loss_acc) / n_acc, n_acc)
+                loss_acc, n_acc = None, 0
+                if jax.process_index() == 0:
+                    logger.info(f"E{epoch} I{i} loss {loss:.4f} "
+                                f"({loss_meter.avg:.4f}) {dt*1000:.0f} ms/it")
         if jax.process_index() == 0 and (
                 (epoch + 1) % cfg.train.save_every_epoch == 0
                 or epoch == total_epochs - 1):

@@ -21,6 +21,10 @@ def parse_args():
     p.add_argument("--repeats", type=int, default=20)
     p.add_argument("--input-size", type=int, default=None,
                    help="square train crop override (default 320)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 network compute, fp32 master params/optimizer")
+    p.add_argument("--lr", type=float, default=None,
+                   help="base LR override (default 1e-5)")
     return p.parse_args()
 
 
@@ -53,6 +57,10 @@ def main():
         cfg.train.batch_size = args.batch_size
     if args.input_size:
         cfg.train.train_input_size = (args.input_size, args.input_size)
+    if args.bf16:
+        cfg.train.bf16 = True
+    if args.lr:
+        cfg.train.base_lr = args.lr
 
     init_distributed()
     mesh = make_mesh()
@@ -81,7 +89,7 @@ def main():
     per_proc_batch = cfg.train.batch_size // jax.process_count()
     total_epochs = 1 if cfg.system.testmode else cfg.train.total_epochs
 
-    from otvm_tpu.eval.metrics import label_iou
+    from otvm_tpu.eval.metrics import reference_iou
 
     for epoch in range(total_epochs):
         idx = epoch_indices(len(dataset), epoch, args.repeats,
@@ -90,22 +98,33 @@ def main():
         loader = Loader(dataset, idx, per_proc_batch,
                         seed=cfg.system.random_seed + epoch,
                         num_threads=cfg.system.num_workers)
+        # device-side loss accumulation + IoU only at log steps: the
+        # per-step float()/host_local() sync serialized dispatch against
+        # compute (the reference syncs per PRINT_FREQ, train.py:379-386)
+        loss_acc, n_acc = None, 0
         for i, sample in enumerate(loader):
             if cfg.system.testmode and i > 20:
                 break
             img = sample["fg"] * sample["alpha"] + sample["bg"] * (1 - sample["alpha"])
             batch = shard_batch(mesh, dict(img=img, tri=sample["tri"]))
             state, metrics = train_step(state, batch)
-            meter.update(float(metrics["loss"]))
-            # per-iteration trimap IoU, as the reference logs it
-            # (train_s1_trimap.py:287-303); frame 0 is the GT first trimap
-            # so only propagated frames are scored
-            pred_lab = host_local(metrics["pred_lab"])[:, 1:]
-            gt_lab = host_local(metrics["gt_lab"])[:, 1:]
-            iou_meter.update(label_iou(pred_lab, gt_lab))
-            if i % 50 == 0 and jax.process_index() == 0:
-                logger.info(f"E{epoch} I{i} CE {meter.val:.4f} ({meter.avg:.4f}) "
-                            f"IoU {iou_meter.val:.4f} ({iou_meter.avg:.4f})")
+            loss_acc = metrics["loss"] if loss_acc is None \
+                else loss_acc + metrics["loss"]
+            n_acc += 1
+            if i % 50 == 0:
+                meter.update(float(loss_acc) / n_acc, n_acc)
+                loss_acc, n_acc = None, 0
+                # trimap IoU on THIS batch, the reference's exact
+                # per-sample macro smoothed x100 aggregation
+                # (train_s1_trimap.py:287-303); frame 0 is the GT first
+                # trimap so only propagated frames are scored
+                pred_lab = host_local(metrics["pred_lab"])[:, 1:]
+                gt_lab = host_local(metrics["gt_lab"])[:, 1:]
+                iou_meter.update(reference_iou(pred_lab, gt_lab))
+                if jax.process_index() == 0:
+                    logger.info(f"E{epoch} I{i} CE {meter.val:.4f} "
+                                f"({meter.avg:.4f}) IoU {iou_meter.val:.2f} "
+                                f"({iou_meter.avg:.2f})")
         if jax.process_index() == 0:
             save_train_state(os.path.join("weights", "s1_OTVM_trimap"), state)
 
