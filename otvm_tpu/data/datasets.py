@@ -71,15 +71,18 @@ def _object_centric_crop(rnd, frames: np.ndarray, masks: Optional[np.ndarray],
     # only <=3 distinct scales exist; the retry loop (up to 100x1000 tries,
     # reference heuristic dataset.py:318-357) must not re-resize per try —
     # memoize the resized pyramid per scale (identical arrays, 30x fewer
-    # cv2.resize calls on this 1-core host)
+    # cv2.resize calls on this 1-core host).  Inputs stay uint8 end to end:
+    # first-touch page faults on this host cost ~35 ms per 10 MB allocated,
+    # so resizing/stacking full-res float32 frames dominated sample cost;
+    # only the final [T,size,size] crop is converted to float32.
     rz_cache = {}
 
     def resized(scale):
         if scale not in rz_cache:
             dsize = (int(real[1] * scale), int(real[0] * scale))
             if dsize == (real[1], real[0]):
-                rz_cache[scale] = (np.stack(frames),
-                                   np.stack(masks) if do_mask else None)
+                rz_cache[scale] = (np.asarray(frames),
+                                   np.asarray(masks) if do_mask else None)
             else:
                 f = np.stack([cv2.resize(f, dsize,
                                          interpolation=cv2.INTER_LINEAR)
@@ -124,8 +127,9 @@ def _object_centric_crop(rnd, frames: np.ndarray, masks: Optional[np.ndarray],
                     cr_y, cr_x = int(ys[tt]), int(xs[tt])
                     break
             break
-    f = rz_f[:, cr_y:cr_y + size[0], cr_x:cr_x + size[1]]
-    m = rz_m[:, cr_y:cr_y + size[0], cr_x:cr_x + size[1]] if do_mask else None
+    f = rz_f[:, cr_y:cr_y + size[0], cr_x:cr_x + size[1]].astype(np.float32)
+    m = (rz_m[:, cr_y:cr_y + size[0], cr_x:cr_x + size[1]].astype(np.float32)
+         if do_mask else None)
     return f, m
 
 
@@ -291,10 +295,11 @@ class DIMTrain:
         rnd = rnd or np.random.RandomState()
         imread = self._cache.imread if self._cache else cv2.imread
         fgp, ap = self.pairs[idx]
-        fg0 = imread(fgp, cv2.IMREAD_COLOR).astype(np.float32)
-        a0 = imread(ap, cv2.IMREAD_GRAYSCALE).astype(np.float32)
+        # uint8 until the crop (see _object_centric_crop)
+        fg0 = imread(fgp, cv2.IMREAD_COLOR)
+        a0 = imread(ap, cv2.IMREAD_GRAYSCALE)
         bg0 = imread(self.bgs[rnd.randint(0, len(self.bgs))],
-                     cv2.IMREAD_COLOR).astype(np.float32)
+                     cv2.IMREAD_COLOR)
         S = self.sample_length
         fgl, bgl, al = [], [], []
         for _ in range(S):
@@ -393,16 +398,18 @@ class VM108Train:
         imread = self._cache.imread if self._cache else cv2.imread
         fgs, als, bgs = [], [], []
         for p in fg_sel:
+            # stay uint8 until the crop (cheap on this host); the crop
+            # converts the small [T,size,size] window to float32
             raw = imread(os.path.join(self.root, p), cv2.IMREAD_UNCHANGED)
-            fgs.append(raw[..., :3].astype(np.float32))
-            als.append(raw[..., 3].astype(np.float32))
-        if als[0].sum() < 1:
+            fgs.append(raw[..., :3])
+            als.append(raw[..., 3])
+        if int(als[0].sum(dtype=np.int64)) < 1:
             return self.__getitem__(rnd.randint(0, len(self)), rnd)
         for p in bg_sel:
             bp = os.path.join(self.root, p)
             if not os.path.exists(bp):
                 bp = os.path.splitext(bp)[0] + ".png"
-            bgs.append(imread(bp, cv2.IMREAD_COLOR).astype(np.float32))
+            bgs.append(imread(bp, cv2.IMREAD_COLOR))
 
         fg, a = _object_centric_crop(rnd, np.stack(fgs), np.stack(als),
                                      self.image_shape, outer_tries=100)

@@ -179,6 +179,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="QUALITY_r2.json")
     p.add_argument("--oracle", action="store_true")
+    p.add_argument("--oracle-hw", default=None,
+                   help="HxW[,frames] for a hi-res oracle run recorded as "
+                        "oracle_parity_<H>x<W> (VERDICT r2 #5: show the "
+                        "within-1%% parity holds at protocol-like "
+                        "resolution, not just 64x96)")
     p.add_argument("--trained", action="store_true")
     p.add_argument("--edt", action="store_true")
     p.add_argument("--bf16", action="store_true")
@@ -207,15 +212,21 @@ def main():
         "onsynth_variants is the on-distribution version of the EDT/bf16 "
         "comparison.")
 
-    if args.oracle:
-        report["oracle_parity"] = run_oracle()
-        print(json.dumps(report["oracle_parity"], indent=2))
-
     def _save():
         with open(args.out, "w") as f:
             json.dump(report, f, indent=2)
 
     if args.oracle:
+        report["oracle_parity"] = run_oracle()
+        print(json.dumps(report["oracle_parity"], indent=2))
+        _save()
+
+    if args.oracle_hw:
+        hw, _, nf = args.oracle_hw.partition(",")
+        h, w = (int(v) for v in hw.split("x"))
+        n = int(nf) if nf else 6
+        report[f"oracle_parity_{h}x{w}"] = run_oracle(n_frames=n, h=h, w=w)
+        print(json.dumps(report[f"oracle_parity_{h}x{w}"], indent=2))
         _save()
 
     need_weights = args.trained or args.edt or args.bf16 or args.onsynth
@@ -232,19 +243,24 @@ def main():
 
     if args.trained:
         from otvm_tpu.eval.runner import EvalProtocol, StreamingEvaluator, evaluate_vm108
+        sfx = f"_{args.tag}" if args.tag else ""
         ev = StreamingEvaluator(trimap_vars, alpha_vars, EvalProtocol())
         res = evaluate_vm108(ev, args.synth, mode="val")
-        report["trained_vm108_synth"] = {k: float(v) for k, v in res.items()}
+        res["weights"] = args.weights
+        report["trained_vm108_synth" + sfx] = {
+            k: (float(v) if not isinstance(v, str) else v)
+            for k, v in res.items()}
         _save()
         # dove has no GT alpha; record fps + that the stream completes
         frames, tri = _dove_frames(args.dove, args.max_edge, args.max_frames)
         alphas = _stream(trimap_vars, alpha_vars, frames, tri)
-        report["trained_dove"] = dict(
+        report["trained_dove" + sfx] = dict(
             frames=len(alphas),
             alpha_mean=float(np.mean([a.mean() for a in alphas])),
             alpha_fg_frac=float(np.mean([(a > 0.5).mean() for a in alphas])))
         print(json.dumps({k: report[k] for k in
-                          ("trained_vm108_synth", "trained_dove")}, indent=2))
+                          ("trained_vm108_synth" + sfx, "trained_dove" + sfx)},
+                         indent=2))
 
     if args.edt:
         frames, tri = _dove_frames(args.dove, args.max_edge, args.max_frames)

@@ -8,13 +8,23 @@
 #   * higher base LRs than the reference's fine-tuning 1e-5;
 #   * stair decay within each stage (x0.1 at 90% of stage iters) as in
 #     helpers.py:183-198.
+# Batch default 2 + bf16: the measured-best per-chip configs are b=1
+# (5.30 samples/s) and b=2 (5.19) — the step is HBM-bound so batch is
+# free; b=2 halves gradient noise at the same wall-clock
+# (docs/BENCH_NOTES.md training matrix).
+#
+# Held-out evidence (VERDICT r2 #1): quality_check --trained runs the
+# full-res streaming eval on the held-out synth val split BEFORE s4 (with
+# the s3 checkpoint) and AFTER s4, so QUALITY_r3.json shows whether joint
+# training improves the eval metric.
 # Usage: bash scripts/train_chain_r3.sh [DATA_ROOT] [BATCH]
 set -e
 cd "$(dirname "$0")/.."
 DATA=${1:-/tmp/synth_data}
-B=${2:-4}
+B=${2:-2}
 SIZE=${SIZE:-320}
 PREC=${PREC:---bf16}
+QOUT=${QOUT:-QUALITY_r3.json}
 E1T=${E1T:-8}; E1=${E1:-12}; E2=${E2:-4}; E3=${E3:-4}; E4=${E4:-20}
 
 echo "=== s1 trimap (STM pretrain, from scratch) ==="
@@ -34,8 +44,16 @@ echo "=== s3 (trimap trained, alpha frozen) ==="
 python train.py --stage 3 --data-root "$DATA" --input-size $SIZE $PREC \
     --epochs $E3 --batch-size $B --lr 5e-5 --init weights/s2_OTVM_alpha
 
+echo "=== held-out eval BEFORE s4 (s3 checkpoint) ==="
+python scripts/quality_check.py --out "$QOUT" --trained --tag pre_s4 \
+    --weights weights/s3_OTVM --synth "$DATA" || true
+
 echo "=== s4 joint on synthetic VM108 ==="
 python train.py --stage 4 --data-root "$DATA" --input-size $SIZE $PREC \
     --epochs $E4 --batch-size $B --lr 3e-5 --init weights/s3_OTVM
 
-echo "chain done; checkpoints in weights/"
+echo "=== held-out eval AFTER s4 + dove ==="
+python scripts/quality_check.py --out "$QOUT" --trained --tag post_s4 \
+    --weights weights/s4_OTVM --synth "$DATA"
+
+echo "chain done; checkpoints in weights/; held-out metrics in $QOUT"

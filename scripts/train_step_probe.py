@@ -62,6 +62,15 @@ def main():
     jax.block_until_ready(metrics["loss"])
     ms = (time.perf_counter() - t0) / n * 1000.0
 
+    trace_dir = os.environ.get("PROBE_TRACE", "")
+    if trace_dir:
+        # per-op profile of the TRAIN step (the r2 traces covered eval only;
+        # VERDICT r2 #3) — parse with scripts/trace_top_ops.py <dir>
+        with jax.profiler.trace(trace_dir):
+            for _ in range(3):
+                state, metrics = train_step(state, batch)
+            jax.block_until_ready(metrics["loss"])
+
     rec = dict(stage=stage, size=size, batch=B, frames=S,
                ms_per_step=round(ms, 2), steps_per_s=round(1000.0 / ms, 3),
                frames_per_s=round(1000.0 / ms * B * S, 2),
