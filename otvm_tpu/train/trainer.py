@@ -136,6 +136,13 @@ def make_trimap_s1_train_step(cfg: Config, tx: optax.GradientTransformation):
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch):
+        if "img" not in batch:
+            # composite on-device (models/trimap/model.py:57-60); doing this
+            # in numpy cost ~30 MB of page-faulted host allocations per iter
+            # on the 1-core host
+            batch = dict(batch)
+            batch["img"] = (batch["fg"] * batch["alpha"]
+                            + batch["bg"] * (1.0 - batch["alpha"]))
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

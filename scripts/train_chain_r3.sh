@@ -25,24 +25,31 @@ B=${2:-2}
 SIZE=${SIZE:-320}
 PREC=${PREC:---bf16}
 QOUT=${QOUT:-QUALITY_r3.json}
-E1T=${E1T:-8}; E1=${E1:-12}; E2=${E2:-4}; E3=${E3:-4}; E4=${E4:-20}
+# 1000 iters/epoch at b=2 (100 DIM pairs / 112 videos x20 repeats); epoch
+# counts sized to the measured ~0.5-0.7 s/iter end-to-end rate of this
+# 1-core-host + 1-chip image (docs/BENCH_NOTES.md loader section) so the
+# full chain fits a working day.  --workers 2 is the measured-best loader
+# thread count here.
+W=${W:-2}
+E1T=${E1T:-3}; E1=${E1:-4}; E2=${E2:-2}; E3=${E3:-2}; E4=${E4:-8}
 
 echo "=== s1 trimap (STM pretrain, from scratch) ==="
 python train_s1_trimap.py --data-root "$DATA" --input-size $SIZE $PREC \
-    --epochs $E1T --batch-size $B --lr 1e-4
+    --epochs $E1T --batch-size $B --lr 1e-4 --workers $W
 
 echo "=== s1 alpha (FBA alone, GT trimaps) ==="
 python train.py --stage 1 --data-root "$DATA" --input-size $SIZE $PREC \
-    --epochs $E1 --batch-size $B --lr 1e-4
+    --epochs $E1 --batch-size $B --lr 1e-4 --workers $W
 
 echo "=== s2 (alpha trained, trimap frozen) ==="
 python train.py --stage 2 --data-root "$DATA" --input-size $SIZE $PREC \
-    --epochs $E2 --batch-size $B --lr 5e-5 \
+    --epochs $E2 --batch-size $B --lr 5e-5 --workers $W \
     --init weights/s1_OTVM_alpha --init-trimap weights/s1_OTVM_trimap
 
 echo "=== s3 (trimap trained, alpha frozen) ==="
 python train.py --stage 3 --data-root "$DATA" --input-size $SIZE $PREC \
-    --epochs $E3 --batch-size $B --lr 5e-5 --init weights/s2_OTVM_alpha
+    --epochs $E3 --batch-size $B --lr 5e-5 --workers $W \
+    --init weights/s2_OTVM_alpha
 
 echo "=== held-out eval BEFORE s4 (s3 checkpoint) ==="
 python scripts/quality_check.py --out "$QOUT" --trained --tag pre_s4 \
@@ -50,7 +57,8 @@ python scripts/quality_check.py --out "$QOUT" --trained --tag pre_s4 \
 
 echo "=== s4 joint on synthetic VM108 ==="
 python train.py --stage 4 --data-root "$DATA" --input-size $SIZE $PREC \
-    --epochs $E4 --batch-size $B --lr 3e-5 --init weights/s3_OTVM
+    --epochs $E4 --batch-size $B --lr 3e-5 --workers $W \
+    --init weights/s3_OTVM
 
 echo "=== held-out eval AFTER s4 + dove ==="
 python scripts/quality_check.py --out "$QOUT" --trained --tag post_s4 \

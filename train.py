@@ -46,6 +46,10 @@ def parse_args():
                    help="square train crop override (default 320)")
     p.add_argument("--lr", type=float, default=None,
                    help="base LR override (default 1e-5)")
+    p.add_argument("--workers", type=int, default=None,
+                   help="loader threads (cfg.system.num_workers); on a "
+                        "1-core host 2 is measured-best, 8 threads "
+                        "HALVE the feed rate (docs/BENCH_NOTES.md)")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 network compute, fp32 master params/optimizer")
     return p.parse_args()
@@ -84,6 +88,8 @@ def main():
         cfg.train.train_input_size = (args.input_size, args.input_size)
     if args.lr:
         cfg.train.base_lr = args.lr
+    if args.workers is not None:
+        cfg.system.num_workers = args.workers
     if args.bf16:
         cfg.train.bf16 = True
 

@@ -21,6 +21,10 @@ def parse_args():
     p.add_argument("--repeats", type=int, default=20)
     p.add_argument("--input-size", type=int, default=None,
                    help="square train crop override (default 320)")
+    p.add_argument("--workers", type=int, default=None,
+                   help="loader threads (cfg.system.num_workers); on a "
+                        "1-core host 2 is measured-best, 8 threads "
+                        "HALVE the feed rate (docs/BENCH_NOTES.md)")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 network compute, fp32 master params/optimizer")
     p.add_argument("--lr", type=float, default=None,
@@ -61,6 +65,8 @@ def main():
         cfg.train.bf16 = True
     if args.lr:
         cfg.train.base_lr = args.lr
+    if args.workers is not None:
+        cfg.system.num_workers = args.workers
 
     init_distributed()
     mesh = make_mesh()
@@ -105,8 +111,10 @@ def main():
         for i, sample in enumerate(loader):
             if cfg.system.testmode and i > 20:
                 break
-            img = sample["fg"] * sample["alpha"] + sample["bg"] * (1 - sample["alpha"])
-            batch = shard_batch(mesh, dict(img=img, tri=sample["tri"]))
+            # composite happens on-device inside the jitted step
+            batch = shard_batch(mesh, dict(fg=sample["fg"], bg=sample["bg"],
+                                           alpha=sample["alpha"],
+                                           tri=sample["tri"]))
             state, metrics = train_step(state, batch)
             loss_acc = metrics["loss"] if loss_acc is None \
                 else loss_acc + metrics["loss"]
