@@ -132,3 +132,40 @@ class Loader:
                     error.append(GeneratorExit("loader closed"))
                 next_claim[0] = n_batches
                 cond.notify_all()
+
+
+# ---------------------------------------------------------------------------
+# uint8 wire format for slow host<->device links
+# ---------------------------------------------------------------------------
+
+def encode_wire(sample: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Quantize a train batch for transfer: this image's TPU is reached
+    through a tunnel moving ~4-6 MB/s, so the float32 batch (~25 MB at
+    b=2 320px S=3) costs ~5 s/iteration — 25x the compute.  fg/bg/alpha
+    go as uint8 (their source precision: the augmented frames are /255'd
+    uint8 decodes), the one-hot trimap as its label byte.  ~4.9 MB on the
+    wire; `decode_wire` reconstructs inside the jitted step.  Quantization
+    error <= 0.5/255 on values whose sources were 8-bit to begin with."""
+    out = {}
+    for k, v in sample.items():
+        if k in ("fg", "bg", "alpha"):
+            out[k] = np.rint(v * 255.0).astype(np.uint8)
+        elif k == "tri":
+            out[k] = np.argmax(v, axis=-1).astype(np.uint8)
+        else:
+            out[k] = v
+    return out
+
+
+def decode_wire(batch):
+    """jnp inverse of encode_wire (run inside jit; no-op on float inputs)."""
+    import jax
+    import jax.numpy as jnp
+
+    out = dict(batch)
+    for k in ("fg", "bg", "alpha"):
+        if k in out and out[k].dtype == jnp.uint8:
+            out[k] = out[k].astype(jnp.float32) / 255.0
+    if "tri" in out and out["tri"].dtype == jnp.uint8:
+        out["tri"] = jax.nn.one_hot(out["tri"], 3, dtype=jnp.float32)
+    return out

@@ -32,6 +32,7 @@ from flax import struct
 
 from ..config import Config
 from ..models.otvm import joint_train_forward, trimap_train_forward
+from ..data.loader import decode_wire
 from ..parallel.mesh import make_mesh, replicate, shard_batch
 from .optim import SCHEDULES, radam
 
@@ -97,6 +98,7 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation):
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        batch = decode_wire(batch)     # no-op on float batches
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -118,6 +120,7 @@ def make_viz_forward(cfg: Config):
 
     @jax.jit
     def viz_forward(state: TrainState, batch):
+        batch = decode_wire(batch)
         stm_vars = {"params": state.params["stm"], "batch_stats": state.batch_stats}
         fba_vars = {"params": state.params["fba"]}
         _, aux = joint_train_forward(stm_vars, fba_vars, batch, stage, arch=arch)
@@ -136,6 +139,7 @@ def make_trimap_s1_train_step(cfg: Config, tx: optax.GradientTransformation):
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch):
+        batch = decode_wire(batch)     # no-op on float batches
         if "img" not in batch:
             # composite on-device (models/trimap/model.py:57-60); doing this
             # in numpy cost ~30 MB of page-faulted host allocations per iter

@@ -187,3 +187,32 @@ def test_random_transform_shapes():
     out = augs.random_transform([img, mask], rnd, rt=25, sh=15,
                                 zm=(0.9, 1.1), cs=10.0)
     assert out[0].shape == img.shape and out[1].shape == mask.shape
+
+
+def test_wire_codec_roundtrip():
+    """encode_wire/decode_wire: uint8 on the wire (slow-tunnel hosts),
+    exact one-hot trimap recovery, <=0.5/255 image quantization."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from otvm_tpu.data.loader import decode_wire, encode_wire
+
+    rng = np.random.RandomState(0)
+    lab = rng.randint(0, 3, (2, 3, 16, 16))
+    sample = dict(
+        fg=rng.rand(2, 3, 16, 16, 3).astype(np.float32),
+        bg=rng.rand(2, 3, 16, 16, 3).astype(np.float32),
+        alpha=rng.rand(2, 3, 16, 16, 1).astype(np.float32),
+        tri=np.eye(3, dtype=np.float32)[lab],
+    )
+    wire = encode_wire(sample)
+    assert all(wire[k].dtype == np.uint8 for k in ("fg", "bg", "alpha", "tri"))
+    assert wire["tri"].shape == lab.shape
+    dec = decode_wire({k: jnp.asarray(v) for k, v in wire.items()})
+    np.testing.assert_array_equal(np.asarray(dec["tri"]), sample["tri"])
+    for k in ("fg", "bg", "alpha"):
+        np.testing.assert_allclose(np.asarray(dec[k]), sample[k],
+                                   atol=0.5 / 255 + 1e-6)
+    # float batches pass through untouched
+    dec2 = decode_wire({k: jnp.asarray(v) for k, v in sample.items()})
+    np.testing.assert_array_equal(np.asarray(dec2["fg"]), sample["fg"])

@@ -64,7 +64,7 @@ def main():
 
     from otvm_tpu.config import get_cfg_defaults, get_model_name
     from otvm_tpu.data.datasets import DIMTrain, VM108Train, vm108_max_skip_for_epoch
-    from otvm_tpu.data.loader import Loader, epoch_indices
+    from otvm_tpu.data.loader import Loader, encode_wire, epoch_indices
     from otvm_tpu.parallel.mesh import init_distributed, make_mesh, shard_batch
     from otvm_tpu.train.trainer import (init_train_state, make_optimizer,
                                         make_train_step, run_epoch)
@@ -182,7 +182,10 @@ def main():
             if cfg.system.testmode and i > 20:
                 break
             host_batch = batch
-            batch = shard_batch(mesh, batch)
+            # uint8 wire format: the TPU tunnel moves ~4-6 MB/s, so the
+            # float32 batch (~25 MB at b=2) would cost seconds per iteration;
+            # decode_wire reconstructs inside the jitted step
+            batch = shard_batch(mesh, encode_wire(batch))
             state, metrics = train_step(state, batch)
             loss_acc = metrics["loss"] if loss_acc is None \
                 else loss_acc + metrics["loss"]

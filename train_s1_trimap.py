@@ -40,7 +40,7 @@ def main():
 
     from otvm_tpu.config import get_cfg_defaults
     from otvm_tpu.data.datasets import DIMTrain
-    from otvm_tpu.data.loader import Loader, epoch_indices
+    from otvm_tpu.data.loader import Loader, encode_wire, epoch_indices
     from otvm_tpu.parallel.mesh import (host_local, init_distributed,
                                         make_mesh, shard_batch)
     from otvm_tpu.train.trainer import (init_train_state, make_optimizer,
@@ -111,10 +111,11 @@ def main():
         for i, sample in enumerate(loader):
             if cfg.system.testmode and i > 20:
                 break
-            # composite happens on-device inside the jitted step
-            batch = shard_batch(mesh, dict(fg=sample["fg"], bg=sample["bg"],
-                                           alpha=sample["alpha"],
-                                           tri=sample["tri"]))
+            # uint8 wire format (the TPU tunnel moves ~4-6 MB/s; float32
+            # batches cost seconds per iteration) + on-device composite
+            batch = shard_batch(mesh, encode_wire(
+                dict(fg=sample["fg"], bg=sample["bg"],
+                     alpha=sample["alpha"], tri=sample["tri"])))
             state, metrics = train_step(state, batch)
             loss_acc = metrics["loss"] if loss_acc is None \
                 else loss_acc + metrics["loss"]
