@@ -71,6 +71,14 @@ class EvalProtocol:
         return out, max_num, large
 
 
+def _wire_u8(frame: np.ndarray) -> np.ndarray:
+    """Device-boundary recompression: decoded video frames are uint8, so
+    ship them as uint8 (the /255 runs inside the jit, exactly — see
+    _eval_frame_core).  On tunneled hosts (4-6 MB/s H2D) this is 4x less
+    wire traffic per streamed frame."""
+    return np.rint(frame * 255.0).astype(np.uint8)
+
+
 def _pad_frame(frame: np.ndarray, tri: Optional[np.ndarray], multiple: int = 32):
     h, w = frame.shape[:2]
     lw, uw, lh, uh = divide_pad_amounts(h, w, multiple)
@@ -141,7 +149,7 @@ class StreamingEvaluator:
                 first, memorize, last = flags[i]
                 out = eval_frame_step(
                     self.trimap_vars, self.alpha_vars, bank,
-                    jnp.asarray(f[None]), first_tri_dev,
+                    jnp.asarray(_wire_u8(f)[None]), first_tri_dev,
                     jnp.asarray(first), jnp.asarray(memorize), jnp.asarray(last),
                     stage=self.protocol.stage, max_memory_num=max_num,
                     arch=self.protocol.arch)
@@ -189,7 +197,7 @@ class StreamingEvaluator:
             while len(fs) < C:                      # tail padding
                 fs.append(fs[-1])
                 fl.append((False, False, True))
-            frames_dev = jnp.asarray(np.stack(fs)[:, None])   # [C,1,H,W,3]
+            frames_dev = jnp.asarray(_wire_u8(np.stack(fs))[:, None])  # [C,1,H,W,3] u8
             firsts, mems, lasts = (jnp.asarray([f[k] for f in fl])
                                    for k in range(3))
             bank, a, t = eval_chunk_step(
@@ -216,7 +224,8 @@ class StreamingEvaluator:
         for i in range(n):
             f, t, pad = _pad_frame(frames01[i], tris[i],
                                    self.protocol.pad_multiple)
-            alpha, _ = alpha_predict(self.alpha_vars, jnp.asarray(f[None]),
+            alpha, _ = alpha_predict(self.alpha_vars,
+                                     jnp.asarray(_wire_u8(f)[None]),
                                      jnp.asarray(t[None]),
                                      stage=self.protocol.stage,
                                      arch=self.protocol.arch)

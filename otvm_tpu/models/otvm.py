@@ -87,7 +87,13 @@ def _eval_frame_core(stm_vars, fba_vars, bank: MemoryBank,
     reference pads to /32 at models/alpha/model.py:408-410).
     first_trimap3 [B,H,W,3]: GT trimap, consumed only when first_frame.
     Flags are traced; shapes compile once per resolution bucket.
+
+    frame01 may arrive as uint8 (0..255): decoded images ARE uint8, so the
+    runner ships them raw over the host->device link (4-6 MB/s on tunneled
+    hosts — see docs/BENCH_NOTES.md) and the /255 happens here, exactly.
     """
+    if frame01.dtype == jnp.uint8:
+        frame01 = frame01.astype(jnp.float32) / 255.0
     stm, fba, refinement = _models(stage, arch)
 
     def use_gt(_):
@@ -182,7 +188,10 @@ def alpha_predict(fba_vars, frame01: jnp.ndarray, trimap3: jnp.ndarray,
                   arch: str = "resnet50_GN_WS"):
     """Single-frame FBA alpha prediction with a GIVEN trimap — the stage-1/2
     eval path (alpha EvalModel with trimap=None, models/alpha/model.py:419,
-    456-457) and BASELINE config[0].  Returns (alpha [B,H,W,1], fba7)."""
+    456-457) and BASELINE config[0].  Returns (alpha [B,H,W,1], fba7).
+    frame01 may be uint8 (see _eval_frame_core)."""
+    if frame01.dtype == jnp.uint8:
+        frame01 = frame01.astype(jnp.float32) / 255.0
     _, fba, refinement = _models(stage, arch)
     feats8, _ = make_trimap_features(trimap3, exact_edt)
     x11 = jnp.concatenate([normalize_image(frame01), feats8], axis=-1)
