@@ -141,6 +141,37 @@ def _dove_frames(dove_root, max_edge=None, n=None):
     return frames, tri
 
 
+def _save_strip(path, frames, alphas, gt_alphas=None, n=6):
+    """One committed PNG: n evenly-spaced frames as columns, rows = [image,
+    (gt alpha,) pred alpha, green-screen composite].  The visual half of the
+    VERDICT-r2 #1 deliverable (demo protocol, /root/reference/eval.py:96-115)."""
+    import cv2
+
+    from otvm_tpu.utils.viz import make_grid
+
+    idx = np.linspace(0, len(frames) - 1, min(n, len(frames))).astype(int)
+    rows = [[np.asarray(frames[i], np.float32) for i in idx]]
+    if gt_alphas is not None:
+        rows.append([np.repeat(np.asarray(gt_alphas[i], np.float32)[..., None],
+                               3, -1) for i in idx])
+    rows.append([np.repeat(np.clip(alphas[i], 0, 1)[..., None], 3, -1)
+                 for i in idx])
+    green = np.zeros_like(rows[0][0])
+    green[..., 1] = 1.0
+    rows.append([frames[i] * rows[-1][j] + green * (1 - rows[-1][j])
+                 for j, i in enumerate(idx)])
+    tiles = [t for row in rows for t in row]
+    # keep the committed artifact small
+    scale = 320.0 / max(tiles[0].shape[:2])
+    if scale < 1:
+        size = (int(tiles[0].shape[1] * scale), int(tiles[0].shape[0] * scale))
+        tiles = [cv2.resize(t, size) for t in tiles]
+    grid = make_grid(tiles, nrow=len(idx))
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    cv2.imwrite(path, (np.clip(grid[..., ::-1], 0, 1) * 255).astype(np.uint8))
+    print("viz strip ->", path)
+
+
 def _stream(trimap_vars, alpha_vars, frames, tri, exact_edt=False,
             dtype=None):
     import jax
@@ -258,6 +289,15 @@ def main():
             frames=len(alphas),
             alpha_mean=float(np.mean([a.mean() for a in alphas])),
             alpha_fg_frac=float(np.mean([(a > 0.5).mean() for a in alphas])))
+        _save_strip(os.path.join("docs", "viz", f"dove{sfx}.png"),
+                    frames, alphas)
+        # held-out synth val clip with GT alpha for visual comparison
+        from otvm_tpu.eval.runner import iter_vm108_videos
+        vid = next(iter_vm108_videos(args.synth, mode="val"))
+        val_alphas = _stream(trimap_vars, alpha_vars,
+                             vid["frames"], vid["first_trimap"])
+        _save_strip(os.path.join("docs", "viz", f"synth_val{sfx}.png"),
+                    vid["frames"], val_alphas, gt_alphas=vid["gt_alpha"])
         print(json.dumps({k: report[k] for k in
                           ("trained_vm108_synth" + sfx, "trained_dove" + sfx)},
                          indent=2))
