@@ -173,7 +173,7 @@ def _save_strip(path, frames, alphas, gt_alphas=None, n=6):
 
 
 def _stream(trimap_vars, alpha_vars, frames, tri, exact_edt=False,
-            dtype=None):
+            dtype=None, trimaps_out=None):
     import jax
     import jax.numpy as jnp
 
@@ -203,6 +203,9 @@ def _stream(trimap_vars, alpha_vars, frames, tri, exact_edt=False,
             stage=4, max_memory_num=max_num, exact_edt=exact_edt)
         bank = out.bank
         alphas.append(_unpad(np.asarray(out.alpha[0, :, :, 0], np.float32), pad))
+        if trimaps_out is not None:
+            trimaps_out.append(
+                _unpad(np.asarray(out.trimap[0], np.float32), pad))
     return alphas
 
 
@@ -284,11 +287,19 @@ def main():
         _save()
         # dove has no GT alpha; record fps + that the stream completes
         frames, tri = _dove_frames(args.dove, args.max_edge, args.max_frames)
-        alphas = _stream(trimap_vars, alpha_vars, frames, tri)
+        tris = []
+        alphas = _stream(trimap_vars, alpha_vars, frames, tri,
+                         trimaps_out=tris)
+        # trimap diagnostics: if alpha degenerates, the per-class fractions
+        # of the PROPAGATED trimaps say whether the collapse happened in the
+        # trimap net (propagation) or the alpha net (matting)
+        lbl = [t.argmax(-1) for t in tris[1:]]   # frame 0 is the GT trimap
         report["trained_dove" + sfx] = dict(
             frames=len(alphas),
             alpha_mean=float(np.mean([a.mean() for a in alphas])),
-            alpha_fg_frac=float(np.mean([(a > 0.5).mean() for a in alphas])))
+            alpha_fg_frac=float(np.mean([(a > 0.5).mean() for a in alphas])),
+            pred_trimap_fg_frac=float(np.mean([(l == 2).mean() for l in lbl])),
+            pred_trimap_unk_frac=float(np.mean([(l == 1).mean() for l in lbl])))
         _save_strip(os.path.join("docs", "viz", f"dove{sfx}.png"),
                     frames, alphas)
         # held-out synth val clip with GT alpha for visual comparison
