@@ -28,6 +28,7 @@ CONFIGS = {
     "512c16": dict(h=512, w=512, b=1, chunk=16),
     "hd_c1": dict(h=1088, w=1920, b=1, chunk=1),
     "hd_c4": dict(h=1088, w=1920, b=1, chunk=4),
+    "hd_c8": dict(h=1088, w=1920, b=1, chunk=8),
     "512b4": dict(h=512, w=512, b=4, chunk=1),
     "512b4c8": dict(h=512, w=512, b=4, chunk=8),
 }
