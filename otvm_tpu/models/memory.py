@@ -53,13 +53,15 @@ class MemoryBank:
 
 
 def init_bank(batch: int, hw: int, max_memory_num: int,
-              dtype=jnp.float32) -> MemoryBank:
+              dtype=jnp.float32, key_dim: int = KEY_DIM,
+              val_dim: int = VAL_DIM) -> MemoryBank:
     """Capacity = max_memory_num + 1: one transient slot for the
-    append-then-evict sequence the reference performs on overflow."""
+    append-then-evict sequence the reference performs on overflow.
+    key_dim/val_dim only deviate for the width-scaled dryrun model."""
     cap = max(max_memory_num, 1) + 1
     return MemoryBank(
-        keys=jnp.zeros((batch, cap, hw, KEY_DIM), dtype),
-        values=jnp.zeros((batch, cap, hw, VAL_DIM), dtype),
+        keys=jnp.zeros((batch, cap, hw, key_dim), dtype),
+        values=jnp.zeros((batch, cap, hw, val_dim), dtype),
         count=jnp.zeros((), jnp.int32),
     )
 

@@ -57,10 +57,10 @@ def make_trimap_features(tri3: jnp.ndarray, exact_edt: bool = False
     return feats, trimask
 
 
-def _models(stage: int, arch: str = "resnet50_GN_WS"):
+def _models(stage: int, arch: str = "resnet50_GN_WS", scale: int = 1):
     refinement = stage > 2
-    stm = STM(hdim=16 if stage > 2 else -1)
-    fba = FBA(refinement=refinement, arch=arch)
+    stm = STM(hdim=16 if stage > 2 else -1, scale=scale)
+    fba = FBA(refinement=refinement, arch=arch, scale=scale)
     return stm, fba, refinement
 
 
@@ -79,7 +79,7 @@ def _eval_frame_core(stm_vars, fba_vars, bank: MemoryBank,
                      first_frame: jnp.ndarray, memorize: jnp.ndarray,
                      last_frame: jnp.ndarray,
                      stage: int, max_memory_num: int,
-                     exact_edt: bool, arch: str) -> EvalOutput:
+                     exact_edt: bool, arch: str, scale: int = 1) -> EvalOutput:
     """One frame of streaming joint inference (traced body shared by the
     per-frame jit and the chunked lax.scan).
 
@@ -94,7 +94,7 @@ def _eval_frame_core(stm_vars, fba_vars, bank: MemoryBank,
     """
     if frame01.dtype == jnp.uint8:
         frame01 = frame01.astype(jnp.float32) / 255.0
-    stm, fba, refinement = _models(stage, arch)
+    stm, fba, refinement = _models(stage, arch, scale)
 
     def use_gt(_):
         return first_trimap3
@@ -129,7 +129,8 @@ def _eval_frame_core(stm_vars, fba_vars, bank: MemoryBank,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("stage", "max_memory_num", "exact_edt", "arch"),
+                   static_argnames=("stage", "max_memory_num", "exact_edt",
+                                    "arch", "scale"),
                    donate_argnums=(2,))
 def eval_frame_step(stm_vars, fba_vars, bank: MemoryBank,
                     frame01: jnp.ndarray, first_trimap3: jnp.ndarray,
@@ -137,12 +138,12 @@ def eval_frame_step(stm_vars, fba_vars, bank: MemoryBank,
                     last_frame: jnp.ndarray,
                     stage: int = 4, max_memory_num: int = 5,
                     exact_edt: bool = False,
-                    arch: str = "resnet50_GN_WS") -> EvalOutput:
+                    arch: str = "resnet50_GN_WS", scale: int = 1) -> EvalOutput:
     """Single-frame dispatch (lowest latency; one device round trip per
     frame).  See _eval_frame_core for semantics."""
     return _eval_frame_core(stm_vars, fba_vars, bank, frame01, first_trimap3,
                             first_frame, memorize, last_frame,
-                            stage, max_memory_num, exact_edt, arch)
+                            stage, max_memory_num, exact_edt, arch, scale)
 
 
 @functools.partial(jax.jit,
@@ -238,7 +239,7 @@ def trimap_eval_step(stm_vars, bank: MemoryBank, frame01: jnp.ndarray,
 def joint_train_forward(stm_vars, fba_vars, batch: Dict[str, jnp.ndarray],
                         stage: int, exact_edt: bool = False,
                         arch: str = "resnet50_GN_WS",
-                        compute_dtype=None):
+                        compute_dtype=None, scale: int = 1):
     """Training forward + loss, == alpha FullModel.forward.
 
     batch (all NHWC, S = frames per clip):
@@ -254,8 +255,9 @@ def joint_train_forward(stm_vars, fba_vars, batch: Dict[str, jnp.ndarray],
     to the caller's fp32 masters through the cast), while GT tensors and all
     loss arithmetic stay fp32 (network outputs are upcast before the loss).
     Beyond reference parity: the reference has no AMP.
+    scale > 1 builds the width/depth-scaled dryrun variant (see STM.scale).
     """
-    stm, fba, refinement = _models(stage, arch)
+    stm, fba, refinement = _models(stage, arch, scale)
     use_trimap_net = stage > 1
 
     if compute_dtype is not None:

@@ -99,12 +99,17 @@ class WSConv(nn.Module):
 
 
 class GroupNorm32(nn.Module):
-    """nn.GroupNorm(num_groups=32, C) with torch eps=1e-5."""
+    """nn.GroupNorm(num_groups=32, C) with torch eps=1e-5.
+
+    num_groups = min(32, C): identical to the reference for every channel
+    count the full model produces (all >= 32); the min only engages for the
+    width-scaled dryrun model (Config.model_scale > 1)."""
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
-        return nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name="gn")(x)
+        groups = min(32, x.shape[-1])
+        return nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=self.dtype, name="gn")(x)
 
 
 class FrozenBatchNorm(nn.Module):

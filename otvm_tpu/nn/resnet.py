@@ -65,15 +65,23 @@ class ResNet50Trunk(nn.Module):
 
     The stem conv is applied by the caller (STM sums extra-mask convs into it,
     STM.py:63-67), so `stem()` and `stages()` are exposed separately.
+
+    width/blocks: defaults are the real ResNet-50; smaller values build the
+    structurally-identical width/depth-scaled variant used by the multichip
+    dryrun (same module tree, same sharding/collective graph, ~10x less
+    compile+compute on the 1-core CPU validation host).
     """
     dtype: Optional[jnp.dtype] = None
+    width: int = 64
+    blocks: Sequence[int] = (3, 4, 6)
 
     def setup(self):
-        self.conv1 = Conv(64, 7, 2, 3, use_bias=False, dtype=self.dtype, name="conv1")
-        self.bn1 = FrozenBatchNorm(64, name="bn1")
-        self.layer1 = ResNetLayer(64, 3, 1, dtype=self.dtype, name="layer1")
-        self.layer2 = ResNetLayer(128, 4, 2, dtype=self.dtype, name="layer2")
-        self.layer3 = ResNetLayer(256, 6, 2, dtype=self.dtype, name="layer3")
+        w = self.width
+        self.conv1 = Conv(w, 7, 2, 3, use_bias=False, dtype=self.dtype, name="conv1")
+        self.bn1 = FrozenBatchNorm(w, name="bn1")
+        self.layer1 = ResNetLayer(w, self.blocks[0], 1, dtype=self.dtype, name="layer1")
+        self.layer2 = ResNetLayer(w * 2, self.blocks[1], 2, dtype=self.dtype, name="layer2")
+        self.layer3 = ResNetLayer(w * 4, self.blocks[2], 2, dtype=self.dtype, name="layer3")
 
     def stem_conv(self, x):
         return self.conv1(x)

@@ -20,7 +20,7 @@ Re-expression of the reference FBA encoder (models/alpha/FBA/resnet_GN_WS.py
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -93,25 +93,32 @@ class ResNet50DilatedGNWS(nn.Module):
     """FBA encoder trunk: output-stride 8, 11-channel input.
 
     Returns conv_out = (x_in, c1, l1, l2, l3, l4); strides 1,2,4,8,8,8.
+
+    width/blocks: defaults are the real ResNet-50; smaller values build the
+    structurally-identical scaled variant for the multichip dryrun (same
+    module tree and skip-pyramid contract, fewer channels/blocks).
     """
     dtype: Optional[jnp.dtype] = None
+    width: int = 64
+    blocks: Sequence[int] = (3, 4, 6, 3)
 
     @nn.compact
     def __call__(self, x):
+        w, b = self.width, self.blocks
         conv_out = [x]
-        c = WSConv(64, 7, 2, 3, use_bias=False, dtype=self.dtype, name="conv1")(x)
+        c = WSConv(w, 7, 2, 3, use_bias=False, dtype=self.dtype, name="conv1")(x)
         c = GroupNorm32(name="bn1")(c)
         c1 = nn.relu(c)
         conv_out.append(c1)                                   # 1/2, 64
         p = max_pool_3x3_s2(c1)                               # 1/4, 64
-        l1 = _DilatedLayer(64, 3, 1, 1, 1, dtype=self.dtype, name="layer1")(p)
+        l1 = _DilatedLayer(w, b[0], 1, 1, 1, dtype=self.dtype, name="layer1")(p)
         conv_out.append(l1)                                   # 1/4, 256
-        l2 = _DilatedLayer(128, 4, 1, 1, 2, dtype=self.dtype, name="layer2")(l1)
+        l2 = _DilatedLayer(w * 2, b[1], 1, 1, 2, dtype=self.dtype, name="layer2")(l1)
         conv_out.append(l2)                                   # 1/8, 512
         # layer3: stride removed, first-block mid conv dilation 2//2=1, rest 2
-        l3 = _DilatedLayer(256, 6, 1, 2, 1, dtype=self.dtype, name="layer3")(l2)
+        l3 = _DilatedLayer(w * 4, b[2], 1, 2, 1, dtype=self.dtype, name="layer3")(l2)
         conv_out.append(l3)                                   # 1/8, 1024
         # layer4: stride removed, first-block mid conv dilation 4//2=2, rest 4
-        l4 = _DilatedLayer(512, 3, 2, 4, 1, dtype=self.dtype, name="layer4")(l3)
+        l4 = _DilatedLayer(w * 8, b[3], 2, 4, 1, dtype=self.dtype, name="layer4")(l3)
         conv_out.append(l4)                                   # 1/8, 2048
         return tuple(conv_out)

@@ -89,11 +89,14 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation):
     arch = cfg.alpha.arch
     cdt = _compute_dtype(cfg)
 
+    scale = cfg.model_scale
+
     def loss_fn(params, batch_stats, batch):
         stm_vars = {"params": params["stm"], "batch_stats": batch_stats}
         fba_vars = {"params": params["fba"]}
         total, aux = joint_train_forward(stm_vars, fba_vars, batch, stage,
-                                         arch=arch, compute_dtype=cdt)
+                                         arch=arch, compute_dtype=cdt,
+                                         scale=scale)
         return total, aux
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -171,8 +174,8 @@ def init_train_state(cfg: Config, rng: jax.Array, tx=None,
 
     h, w = height or cfg.train.train_input_size[0], width or cfg.train.train_input_size[1]
     stage = cfg.train.stage
-    stm = STM(hdim=16 if stage > 2 else -1)
-    fba = FBA(refinement=stage > 2, arch=cfg.alpha.arch)
+    stm = STM(hdim=16 if stage > 2 else -1, scale=cfg.model_scale)
+    fba = FBA(refinement=stage > 2, arch=cfg.alpha.arch, scale=cfg.model_scale)
     r1, r2, r3 = jax.random.split(rng, 3)
 
     frame = jnp.zeros((1, h, w, 3))
@@ -182,8 +185,8 @@ def init_train_state(cfg: Config, rng: jax.Array, tx=None,
         kwargs = dict(alpha=mask, hidden=jnp.zeros((1, h, w, stm.hdim)))
     stm_m = stm.init(r1, frame, mask, mask, method=STM.memorize, **kwargs)
     hw16 = (h // 16) * (w // 16)
-    stm_s = stm.init(r2, frame, jnp.zeros((1, 1, hw16, 128)),
-                     jnp.zeros((1, 1, hw16, 512)), None, method=STM.segment)
+    stm_s = stm.init(r2, frame, jnp.zeros((1, 1, hw16, stm.key_dim)),
+                     jnp.zeros((1, 1, hw16, stm.val_dim)), None, method=STM.segment)
 
     def merge(a, b):
         out = dict(a)
