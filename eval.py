@@ -49,11 +49,18 @@ def load_weights(path, stage=4, arch="resnet50_GN_WS"):
     from otvm_tpu.config import get_cfg_defaults
     from otvm_tpu.train.trainer import init_train_state
     from otvm_tpu.utils.checkpoint import (import_torch_checkpoint,
-                                           restore_params_only)
+                                           restore_params_only, restore_pytree)
 
     cfg = get_cfg_defaults()
     cfg.train.stage = stage
     cfg.alpha.arch = arch
+    if path is not None and not path.endswith(".pth"):
+        # GN-trunk checkpoints (from-scratch recipe) carry no BN stats;
+        # pick the matching template BEFORE restoring so the tolerant merge
+        # doesn't backfill identity stats over a GN model.
+        raw = restore_pytree(path)
+        if not raw.get("batch_stats"):
+            cfg.stm_norm = "gn"
     state = init_train_state(cfg, jax.random.PRNGKey(0), None, 64, 64)
     if path is None:
         print("WARNING: no --weights given; using random weights")
@@ -65,7 +72,9 @@ def load_weights(path, stage=4, arch="resnet50_GN_WS"):
     else:
         # train-state checkpoint: params only (opt_state irrelevant for eval)
         state = restore_params_only(path, state)
-    trimap_vars = {"params": state.params["stm"], "batch_stats": state.batch_stats}
+    trimap_vars = {"params": state.params["stm"]}
+    if state.batch_stats:
+        trimap_vars["batch_stats"] = state.batch_stats
     alpha_vars = {"params": state.params["fba"]}
     return trimap_vars, alpha_vars
 

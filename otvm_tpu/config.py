@@ -66,6 +66,11 @@ class Config:
     # structure; used by the multichip CPU dryrun where the full graph
     # cannot compile within budget on a 1-core host (VERDICT r3 #1).
     model_scale: int = 1
+    # STM trunk norm: 'frozen_bn' (reference FREEZE_BN semantics, for
+    # pretrained stats) or 'gn' (from-scratch recipe: frozen BN at random
+    # init is the identity, which killed round-3 s1t learning).  GN
+    # checkpoints have empty batch_stats — eval auto-detects the variant.
+    stm_norm: str = "frozen_bn"
 
 
 def get_cfg_defaults() -> Config:

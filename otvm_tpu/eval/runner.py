@@ -107,6 +107,10 @@ class StreamingEvaluator:
         self.trimap_vars = trimap_vars
         self.alpha_vars = alpha_vars
         self.protocol = protocol
+        # GN-trunk checkpoints (from-scratch recipe) carry no BN stats —
+        # that absence selects the matching model variant automatically.
+        self.stm_norm = ("frozen_bn" if (trimap_vars or {}).get("batch_stats")
+                         else "gn")
 
     def run_video(self, frames01: Sequence[np.ndarray],
                   first_trimap3: np.ndarray,
@@ -152,7 +156,7 @@ class StreamingEvaluator:
                     jnp.asarray(_wire_u8(f)[None]), first_tri_dev,
                     jnp.asarray(first), jnp.asarray(memorize), jnp.asarray(last),
                     stage=self.protocol.stage, max_memory_num=max_num,
-                    arch=self.protocol.arch)
+                    arch=self.protocol.arch, stm_norm=self.stm_norm)
                 bank = out.bank
                 if pending is not None:
                     self._collect(pending, alphas, trimaps)
@@ -204,7 +208,7 @@ class StreamingEvaluator:
                 self.trimap_vars, self.alpha_vars, bank,
                 frames_dev, first_tri_dev, firsts, mems, lasts,
                 stage=self.protocol.stage, max_memory_num=max_num,
-                arch=self.protocol.arch)
+                arch=self.protocol.arch, stm_norm=self.stm_norm)
             a, t = np.asarray(a), np.asarray(t)
             for j in range(hi - lo):
                 alphas.append(_unpad(a[j, 0, :, :, 0], pad))
@@ -252,6 +256,8 @@ class TrimapEvaluator:
     def __init__(self, stm_vars, protocol: EvalProtocol):
         self.stm_vars = stm_vars
         self.protocol = protocol
+        self.stm_norm = ("frozen_bn" if (stm_vars or {}).get("batch_stats")
+                         else "gn")
 
     def run_video(self, frames01: Sequence[np.ndarray],
                   first_trimap3: np.ndarray,
@@ -276,7 +282,7 @@ class TrimapEvaluator:
             bank, pred = trimap_eval_step(
                 self.stm_vars, bank, jnp.asarray(f[None]), first_tri_dev,
                 jnp.asarray(first), jnp.asarray(memorize),
-                max_memory_num=max_num)
+                max_memory_num=max_num, stm_norm=self.stm_norm)
             trimaps.append(_unpad(np.asarray(pred[0]), pad))
         fps = n / (time.perf_counter() - t_start)
         if out_dir is not None:

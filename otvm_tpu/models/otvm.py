@@ -57,9 +57,10 @@ def make_trimap_features(tri3: jnp.ndarray, exact_edt: bool = False
     return feats, trimask
 
 
-def _models(stage: int, arch: str = "resnet50_GN_WS", scale: int = 1):
+def _models(stage: int, arch: str = "resnet50_GN_WS", scale: int = 1,
+            stm_norm: str = "frozen_bn"):
     refinement = stage > 2
-    stm = STM(hdim=16 if stage > 2 else -1, scale=scale)
+    stm = STM(hdim=16 if stage > 2 else -1, scale=scale, norm=stm_norm)
     fba = FBA(refinement=refinement, arch=arch, scale=scale)
     return stm, fba, refinement
 
@@ -79,7 +80,8 @@ def _eval_frame_core(stm_vars, fba_vars, bank: MemoryBank,
                      first_frame: jnp.ndarray, memorize: jnp.ndarray,
                      last_frame: jnp.ndarray,
                      stage: int, max_memory_num: int,
-                     exact_edt: bool, arch: str, scale: int = 1) -> EvalOutput:
+                     exact_edt: bool, arch: str, scale: int = 1,
+                     stm_norm: str = "frozen_bn") -> EvalOutput:
     """One frame of streaming joint inference (traced body shared by the
     per-frame jit and the chunked lax.scan).
 
@@ -94,7 +96,7 @@ def _eval_frame_core(stm_vars, fba_vars, bank: MemoryBank,
     """
     if frame01.dtype == jnp.uint8:
         frame01 = frame01.astype(jnp.float32) / 255.0
-    stm, fba, refinement = _models(stage, arch, scale)
+    stm, fba, refinement = _models(stage, arch, scale, stm_norm)
 
     def use_gt(_):
         return first_trimap3
@@ -130,7 +132,7 @@ def _eval_frame_core(stm_vars, fba_vars, bank: MemoryBank,
 
 @functools.partial(jax.jit,
                    static_argnames=("stage", "max_memory_num", "exact_edt",
-                                    "arch", "scale"),
+                                    "arch", "scale", "stm_norm"),
                    donate_argnums=(2,))
 def eval_frame_step(stm_vars, fba_vars, bank: MemoryBank,
                     frame01: jnp.ndarray, first_trimap3: jnp.ndarray,
@@ -138,16 +140,19 @@ def eval_frame_step(stm_vars, fba_vars, bank: MemoryBank,
                     last_frame: jnp.ndarray,
                     stage: int = 4, max_memory_num: int = 5,
                     exact_edt: bool = False,
-                    arch: str = "resnet50_GN_WS", scale: int = 1) -> EvalOutput:
+                    arch: str = "resnet50_GN_WS", scale: int = 1,
+                    stm_norm: str = "frozen_bn") -> EvalOutput:
     """Single-frame dispatch (lowest latency; one device round trip per
     frame).  See _eval_frame_core for semantics."""
     return _eval_frame_core(stm_vars, fba_vars, bank, frame01, first_trimap3,
                             first_frame, memorize, last_frame,
-                            stage, max_memory_num, exact_edt, arch, scale)
+                            stage, max_memory_num, exact_edt, arch, scale,
+                            stm_norm)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("stage", "max_memory_num", "exact_edt", "arch"),
+                   static_argnames=("stage", "max_memory_num", "exact_edt",
+                                    "arch", "stm_norm"),
                    donate_argnums=(2,))
 def eval_chunk_step(stm_vars, fba_vars, bank: MemoryBank,
                     frames01: jnp.ndarray, first_trimap3: jnp.ndarray,
@@ -155,7 +160,7 @@ def eval_chunk_step(stm_vars, fba_vars, bank: MemoryBank,
                     last_flags: jnp.ndarray,
                     stage: int = 4, max_memory_num: int = 5,
                     exact_edt: bool = False,
-                    arch: str = "resnet50_GN_WS"):
+                    arch: str = "resnet50_GN_WS", stm_norm: str = "frozen_bn"):
     """T frames in ONE dispatch via lax.scan over _eval_frame_core —
     byte-for-byte the per-frame protocol (same flags per frame), but the
     host->device round trip is amortized T-fold.  For buffered/offline
@@ -168,7 +173,8 @@ def eval_chunk_step(stm_vars, fba_vars, bank: MemoryBank,
         frame, first, mem, last = inp
         out = _eval_frame_core(stm_vars, fba_vars, b, frame, first_trimap3,
                                first, mem, last,
-                               stage, max_memory_num, exact_edt, arch)
+                               stage, max_memory_num, exact_edt, arch,
+                               1, stm_norm)
         return out.bank, (out.alpha, out.trimap)
 
     bank, (alphas, trimaps) = jax.lax.scan(
@@ -201,19 +207,20 @@ def alpha_predict(fba_vars, frame01: jnp.ndarray, trimap3: jnp.ndarray,
     return pred[..., 0:1], pred
 
 
-@functools.partial(jax.jit, static_argnames=("max_memory_num", "memorize_gt"),
+@functools.partial(jax.jit, static_argnames=("max_memory_num", "memorize_gt",
+                                             "stm_norm"),
                    donate_argnums=(1,))
 def trimap_eval_step(stm_vars, bank: MemoryBank, frame01: jnp.ndarray,
                      first_trimap3: jnp.ndarray, first_frame: jnp.ndarray,
                      memorize: jnp.ndarray, max_memory_num: int = 5,
-                     memorize_gt: bool = False):
+                     memorize_gt: bool = False, stm_norm: str = "frozen_bn"):
     """Trimap-propagation-only streaming eval (trimap FullModel_eval stage 1,
     models/trimap/model.py:173-281): segment with the current bank, then
     memorize the PREDICTED (or GT when memorize_gt) trimap of this frame.
 
     Returns (bank, trimap3).  With memorize_gt the overflow eviction drops
     slot 0 instead of keeping it (model.py:215-221)."""
-    stm = STM(hdim=-1)
+    stm = STM(hdim=-1, norm=stm_norm)
 
     def use_gt(_):
         return first_trimap3
@@ -239,7 +246,8 @@ def trimap_eval_step(stm_vars, bank: MemoryBank, frame01: jnp.ndarray,
 def joint_train_forward(stm_vars, fba_vars, batch: Dict[str, jnp.ndarray],
                         stage: int, exact_edt: bool = False,
                         arch: str = "resnet50_GN_WS",
-                        compute_dtype=None, scale: int = 1):
+                        compute_dtype=None, scale: int = 1,
+                        stm_norm: str = "frozen_bn"):
     """Training forward + loss, == alpha FullModel.forward.
 
     batch (all NHWC, S = frames per clip):
@@ -257,7 +265,7 @@ def joint_train_forward(stm_vars, fba_vars, batch: Dict[str, jnp.ndarray],
     Beyond reference parity: the reference has no AMP.
     scale > 1 builds the width/depth-scaled dryrun variant (see STM.scale).
     """
-    stm, fba, refinement = _models(stage, arch, scale)
+    stm, fba, refinement = _models(stage, arch, scale, stm_norm)
     use_trimap_net = stage > 1
 
     if compute_dtype is not None:
@@ -395,14 +403,15 @@ def joint_train_forward(stm_vars, fba_vars, batch: Dict[str, jnp.ndarray],
 # ---------------------------------------------------------------------------
 
 def trimap_train_forward(stm_vars, batch: Dict[str, jnp.ndarray],
-                         ignore_label: int = 255, compute_dtype=None):
+                         ignore_label: int = 255, compute_dtype=None,
+                         stm_norm: str = "frozen_bn"):
     """== trimap FullModel._forward stage 1 (models/trimap/model.py:75-131).
 
     batch: img [B,S,H,W,3] in [0,1], tri [B,S,H,W,3] one-hot float.
     The reference's per-item python loop (b=1 only, model.py:87) is replaced
     by real batching.  Returns (loss, aux with stacked predictions).
     compute_dtype: see joint_train_forward (CE stays fp32)."""
-    stm = STM(hdim=-1)
+    stm = STM(hdim=-1, norm=stm_norm)
     img, tri = batch["img"], batch["tri"]
     if compute_dtype is not None:
         stm_vars = jax.tree_util.tree_map(

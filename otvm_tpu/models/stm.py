@@ -115,6 +115,9 @@ class STM(nn.Module):
     hdim: int = -1
     dtype: Optional[jnp.dtype] = None
     scale: int = 1
+    # 'gn': GroupNorm trunk for from-scratch training (frozen BN at random
+    # init is the identity — round-3 s1t never learned; nn/resnet._norm).
+    norm: str = "frozen_bn"
 
     @property
     def key_dim(self) -> int:
@@ -128,10 +131,10 @@ class STM(nn.Module):
         s = self.scale
         w = 64 // s
         blocks = (3, 4, 6) if s == 1 else (1, 1, 1)
-        self.enc_m_trunk = ResNet50Trunk(dtype=self.dtype, width=w,
-                                         blocks=blocks, name="Encoder_M")
-        self.enc_q_trunk = ResNet50Trunk(dtype=self.dtype, width=w,
-                                         blocks=blocks, name="Encoder_Q")
+        self.enc_m_trunk = ResNet50Trunk(dtype=self.dtype, width=w, blocks=blocks,
+                                         norm=self.norm, name="Encoder_M")
+        self.enc_q_trunk = ResNet50Trunk(dtype=self.dtype, width=w, blocks=blocks,
+                                         norm=self.norm, name="Encoder_Q")
         self.conv1_m = Conv(w, 7, 2, 3, use_bias=False, dtype=self.dtype, name="conv1_m")
         self.conv1_o = Conv(w, 7, 2, 3, use_bias=False, dtype=self.dtype, name="conv1_o")
         if self.hdim > 0:

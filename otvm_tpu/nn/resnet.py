@@ -18,28 +18,45 @@ from .layers import Conv, FrozenBatchNorm
 from .ops import max_pool_3x3_s2
 
 
+def _norm(kind: str, features: int, name: str):
+    """Trunk norm factory.
+
+    'frozen_bn' — torchvision BN in eval mode (the reference's FREEZE_BN
+    semantics; correct when loading pretrained stats).
+    'gn'        — GroupNorm(min(32, C)): the from-scratch recipe.  At random
+    init frozen BN is the identity (stats mean=0/var=1), leaving a no-norm
+    ResNet-50 that barely learns (round-3 s1t: flat IoU).  flax GroupNorm's
+    params are also named scale/bias, so the param-tree keys are identical
+    to FrozenBatchNorm's; GN checkpoints simply have no batch_stats, which
+    is how eval auto-detects the variant."""
+    if kind == "gn":
+        return nn.GroupNorm(num_groups=min(32, features), epsilon=1e-5, name=name)
+    return FrozenBatchNorm(features, name=name)
+
+
 class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     downsample: bool = False
     dtype: Optional[jnp.dtype] = None
+    norm: str = "frozen_bn"
 
     @nn.compact
     def __call__(self, x):
         out_ch = self.planes * 4
         identity = x
         y = Conv(self.planes, 1, 1, 0, use_bias=False, dtype=self.dtype, name="conv1")(x)
-        y = FrozenBatchNorm(self.planes, name="bn1")(y)
+        y = _norm(self.norm, self.planes, "bn1")(y)
         y = nn.relu(y)
         y = Conv(self.planes, 3, self.stride, 1, use_bias=False, dtype=self.dtype, name="conv2")(y)
-        y = FrozenBatchNorm(self.planes, name="bn2")(y)
+        y = _norm(self.norm, self.planes, "bn2")(y)
         y = nn.relu(y)
         y = Conv(out_ch, 1, 1, 0, use_bias=False, dtype=self.dtype, name="conv3")(y)
-        y = FrozenBatchNorm(out_ch, name="bn3")(y)
+        y = _norm(self.norm, out_ch, "bn3")(y)
         if self.downsample:
             identity = Conv(out_ch, 1, self.stride, 0, use_bias=False, dtype=self.dtype,
                             name="downsample_conv")(x)
-            identity = FrozenBatchNorm(out_ch, name="downsample_bn")(identity)
+            identity = _norm(self.norm, out_ch, "downsample_bn")(identity)
         return nn.relu(y + identity)
 
 
@@ -48,12 +65,14 @@ class ResNetLayer(nn.Module):
     blocks: int
     stride: int
     dtype: Optional[jnp.dtype] = None
+    norm: str = "frozen_bn"
 
     @nn.compact
     def __call__(self, x):
-        x = Bottleneck(self.planes, self.stride, downsample=True, dtype=self.dtype, name="0")(x)
+        x = Bottleneck(self.planes, self.stride, downsample=True, dtype=self.dtype,
+                       norm=self.norm, name="0")(x)
         for i in range(1, self.blocks):
-            x = Bottleneck(self.planes, 1, dtype=self.dtype, name=str(i))(x)
+            x = Bottleneck(self.planes, 1, dtype=self.dtype, norm=self.norm, name=str(i))(x)
         return x
 
 
@@ -74,14 +93,15 @@ class ResNet50Trunk(nn.Module):
     dtype: Optional[jnp.dtype] = None
     width: int = 64
     blocks: Sequence[int] = (3, 4, 6)
+    norm: str = "frozen_bn"          # 'gn' for from-scratch training (see _norm)
 
     def setup(self):
-        w = self.width
+        w, nk = self.width, self.norm
         self.conv1 = Conv(w, 7, 2, 3, use_bias=False, dtype=self.dtype, name="conv1")
-        self.bn1 = FrozenBatchNorm(w, name="bn1")
-        self.layer1 = ResNetLayer(w, self.blocks[0], 1, dtype=self.dtype, name="layer1")
-        self.layer2 = ResNetLayer(w * 2, self.blocks[1], 2, dtype=self.dtype, name="layer2")
-        self.layer3 = ResNetLayer(w * 4, self.blocks[2], 2, dtype=self.dtype, name="layer3")
+        self.bn1 = _norm(nk, w, "bn1")
+        self.layer1 = ResNetLayer(w, self.blocks[0], 1, dtype=self.dtype, norm=nk, name="layer1")
+        self.layer2 = ResNetLayer(w * 2, self.blocks[1], 2, dtype=self.dtype, norm=nk, name="layer2")
+        self.layer3 = ResNetLayer(w * 4, self.blocks[2], 2, dtype=self.dtype, norm=nk, name="layer3")
 
     def stem_conv(self, x):
         return self.conv1(x)

@@ -90,13 +90,14 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation):
     cdt = _compute_dtype(cfg)
 
     scale = cfg.model_scale
+    stm_norm = cfg.stm_norm
 
     def loss_fn(params, batch_stats, batch):
         stm_vars = {"params": params["stm"], "batch_stats": batch_stats}
         fba_vars = {"params": params["fba"]}
         total, aux = joint_train_forward(stm_vars, fba_vars, batch, stage,
                                          arch=arch, compute_dtype=cdt,
-                                         scale=scale)
+                                         scale=scale, stm_norm=stm_norm)
         return total, aux
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -120,13 +121,15 @@ def make_viz_forward(cfg: Config):
     stage = cfg.train.stage
 
     arch = cfg.alpha.arch
+    stm_norm = cfg.stm_norm
 
     @jax.jit
     def viz_forward(state: TrainState, batch):
         batch = decode_wire(batch)
         stm_vars = {"params": state.params["stm"], "batch_stats": state.batch_stats}
         fba_vars = {"params": state.params["fba"]}
-        _, aux = joint_train_forward(stm_vars, fba_vars, batch, stage, arch=arch)
+        _, aux = joint_train_forward(stm_vars, fba_vars, batch, stage, arch=arch,
+                                     stm_norm=stm_norm)
         return dict(alphas=aux["alphas"], comps=aux["comps"])
 
     return viz_forward
@@ -135,10 +138,12 @@ def make_viz_forward(cfg: Config):
 def make_trimap_s1_train_step(cfg: Config, tx: optax.GradientTransformation):
     """train_s1_trimap.py equivalent: STM-only CE training."""
     cdt = _compute_dtype(cfg)
+    stm_norm = cfg.stm_norm
 
     def loss_fn(params, batch_stats, batch):
         stm_vars = {"params": params["stm"], "batch_stats": batch_stats}
-        return trimap_train_forward(stm_vars, batch, compute_dtype=cdt)
+        return trimap_train_forward(stm_vars, batch, compute_dtype=cdt,
+                                    stm_norm=stm_norm)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch):
@@ -174,7 +179,8 @@ def init_train_state(cfg: Config, rng: jax.Array, tx=None,
 
     h, w = height or cfg.train.train_input_size[0], width or cfg.train.train_input_size[1]
     stage = cfg.train.stage
-    stm = STM(hdim=16 if stage > 2 else -1, scale=cfg.model_scale)
+    stm = STM(hdim=16 if stage > 2 else -1, scale=cfg.model_scale,
+              norm=cfg.stm_norm)
     fba = FBA(refinement=stage > 2, arch=cfg.alpha.arch, scale=cfg.model_scale)
     r1, r2, r3 = jax.random.split(rng, 3)
 

@@ -200,7 +200,9 @@ def _stream(trimap_vars, alpha_vars, frames, tri, exact_edt=False,
             trimap_vars, alpha_vars, bank,
             jnp.asarray(f[None], dtype or jnp.float32), first_tri,
             jnp.asarray(first), jnp.asarray(memorize), jnp.asarray(last),
-            stage=4, max_memory_num=max_num, exact_edt=exact_edt)
+            stage=4, max_memory_num=max_num, exact_edt=exact_edt,
+            stm_norm=("frozen_bn" if (trimap_vars or {}).get("batch_stats")
+                      else "gn"))
         bank = out.bank
         alphas.append(_unpad(np.asarray(out.alpha[0, :, :, 0], np.float32), pad))
         if trimaps_out is not None:

@@ -4,6 +4,9 @@ mixed-resolution video set (VM108 has heterogeneous per-video sizes,
 dataset.py:880-957).  Pure shape math — each unique padded (H, W) is one
 compile by construction (flags are traced, the bank is fixed-shape)."""
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 from otvm_tpu.eval.runner import _pad_frame, _unpad
 

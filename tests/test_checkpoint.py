@@ -3,6 +3,8 @@ lacks entirely, train.py:127) + the torch-import dispatch."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp
 

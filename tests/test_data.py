@@ -6,6 +6,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 cv2 = pytest.importorskip("cv2")
 
 from otvm_tpu.data import augs

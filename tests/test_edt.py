@@ -3,11 +3,21 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 jax = pytest.importorskip("jax")
+import functools
+
 import jax.numpy as jnp
 
-from otvm_tpu.nn.edt import (edt_sq_exact, edt_sq_jfa, trimap_clicks,
-                             trimap_clicks_host)
+from otvm_tpu.nn import edt as _edt
+from otvm_tpu.nn.edt import trimap_clicks_host
+
+# jitted wrappers: eager per-op dispatch costs ~2 s/op on this image's
+# axon-plugin CPU path (docs/BENCH_NOTES.md smoke note)
+edt_sq_exact = jax.jit(_edt.edt_sq_exact)
+edt_sq_jfa = jax.jit(_edt.edt_sq_jfa)
+trimap_clicks = jax.jit(_edt.trimap_clicks, static_argnames=("exact",))
 
 
 def _cv2_d2(seeds):

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp
 
@@ -48,11 +50,14 @@ def test_bank_policy_matches_reference(max_num, skip):
 
     ref = _reference_policy(news, flags, max_num)
 
+    # one jitted update per policy (eager per-op dispatch costs ~2 s/op on
+    # this image's axon-plugin CPU path — docs/BENCH_NOTES.md smoke note)
+    import functools
+    step = jax.jit(functools.partial(update_bank, max_memory_num=max_num))
     bank = init_bank(B, hw, max_num)
+    v = jnp.zeros((B, hw, VAL_DIM))
     for new, (first, mem) in zip(news, flags):
-        k = jnp.asarray(new)
-        v = jnp.zeros((B, hw, VAL_DIM))
-        bank = update_bank(bank, k, v, jnp.asarray(first), jnp.asarray(mem), max_num)
+        bank = step(bank, jnp.asarray(new), v, jnp.asarray(first), jnp.asarray(mem))
 
     count = int(bank.count)
     assert count == len(ref), f"count {count} != ref {len(ref)}"

@@ -6,6 +6,8 @@ possible and against its pure-tensor methods directly."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from otvm_tpu.eval import metrics as M
 
 

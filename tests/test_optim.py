@@ -2,6 +2,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp
 import optax
@@ -30,13 +32,18 @@ def test_radam_matches_reference(ref, weight_decay):
         tp.grad = torch.from_numpy(g.copy())
         opt.step()
 
-    # mine
+    # mine (one jitted step fn: eager per-op dispatch is ~2 s/op here)
     tx = radam(1e-2, weight_decay=weight_decay)
     params = {"w": jnp.asarray(p0)}
     state = tx.init(params)
+
+    @jax.jit
+    def step(params, state, g):
+        updates, state = tx.update({"w": g}, state, params)
+        return optax.apply_updates(params, updates), state
+
     for g in grads:
-        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
-        params = optax.apply_updates(params, updates)
+        params, state = step(params, state, jnp.asarray(g))
 
     # residual f32-vs-f64 rounding in the rectification scalar: <= ~3e-6 abs
     np.testing.assert_allclose(np.asarray(params["w"]), tp.detach().numpy(),
@@ -49,12 +56,16 @@ def test_radam_no_update_before_rectification():
     tx = radam(1e-2, weight_decay=1e-2)
     params = {"w": jnp.ones((3,))}
     state = tx.init(params)
-    for i in range(5):
+
+    @jax.jit
+    def step(params, state):
         updates, state = tx.update({"w": jnp.ones((3,))}, state, params)
-        params = optax.apply_updates(params, updates)
+        return optax.apply_updates(params, updates), state
+
+    for i in range(5):
+        params, state = step(params, state)
         np.testing.assert_allclose(np.asarray(params["w"]), 1.0, atol=0)
-    updates, state = tx.update({"w": jnp.ones((3,))}, state, params)
-    params = optax.apply_updates(params, updates)
+    params, state = step(params, state)
     assert float(jnp.abs(params["w"] - 1.0).max()) > 0  # step 6 updates
 
 

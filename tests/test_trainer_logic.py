@@ -3,6 +3,9 @@ optimizer masking, config surface."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.smoke
 import optax
 
 from otvm_tpu.config import get_cfg_defaults, get_model_name

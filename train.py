@@ -52,6 +52,12 @@ def parse_args():
                         "HALVE the feed rate (docs/BENCH_NOTES.md)")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 network compute, fp32 master params/optimizer")
+    p.add_argument("--stm-gn", action="store_true",
+                   help="GroupNorm STM trunk (from-scratch recipe; frozen BN "
+                        "at random init is the identity and does not train)")
+    p.add_argument("--save-every", type=int, default=None,
+                   help="checkpoint every N epochs (default 20; use 1 for "
+                        "interruption-proof chains)")
     return p.parse_args()
 
 
@@ -92,6 +98,10 @@ def main():
         cfg.system.num_workers = args.workers
     if args.bf16:
         cfg.train.bf16 = True
+    if args.stm_gn:
+        cfg.stm_norm = "gn"
+    if args.save_every:
+        cfg.train.save_every_epoch = args.save_every
 
     init_distributed()
     mesh = make_mesh()
@@ -152,9 +162,15 @@ def main():
             state = state.replace(params=params,
                                   batch_stats=donor.batch_stats,
                                   opt_state=tx.init(params))
+    start_epoch = 0
     if args.resume:
         state = restore_train_state(args.resume, state)
-        logger.info(f"resumed at step {int(state.step)}")
+        # epoch position follows the restored step so a relaunched chain
+        # continues instead of replaying from epoch 0 (the reference has no
+        # resume at all: start_epoch=0 hardcoded, train.py:127)
+        start_epoch = min(int(state.step) // iters_per_epoch,
+                          cfg.train.total_epochs)
+        logger.info(f"resumed at step {int(state.step)} (epoch {start_epoch})")
 
     train_step = make_train_step(cfg, tx)
     per_proc_batch = cfg.train.batch_size // jax.process_count()
@@ -162,7 +178,7 @@ def main():
     timer = StepTimer()
 
     total_epochs = 1 if cfg.system.testmode else cfg.train.total_epochs
-    for epoch in range(total_epochs):
+    for epoch in range(start_epoch, total_epochs):
         if args.stage == 4:
             dataset.max_skip = vm108_max_skip_for_epoch(epoch, cfg.train.total_epochs)
         idx = epoch_indices(len(dataset), epoch, args.repeats,

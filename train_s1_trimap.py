@@ -29,6 +29,13 @@ def parse_args():
                    help="bf16 network compute, fp32 master params/optimizer")
     p.add_argument("--lr", type=float, default=None,
                    help="base LR override (default 1e-5)")
+    p.add_argument("--stm-gn", action="store_true",
+                   help="GroupNorm STM trunk (from-scratch recipe; frozen BN "
+                        "at random init is the identity and does not train)")
+    p.add_argument("--resume", type=str, default=None,
+                   help="orbax train-state dir (params+opt+step)")
+    p.add_argument("--max-iters", type=int, default=None,
+                   help="hard cap on iterations per epoch (LR probes)")
     return p.parse_args()
 
 
@@ -45,7 +52,8 @@ def main():
                                         make_mesh, shard_batch)
     from otvm_tpu.train.trainer import (init_train_state, make_optimizer,
                                         make_trimap_s1_train_step)
-    from otvm_tpu.utils.checkpoint import import_torch_checkpoint, save_train_state
+    from otvm_tpu.utils.checkpoint import (import_torch_checkpoint,
+                                           restore_train_state, save_train_state)
     from otvm_tpu.utils.logging import AverageMeter, create_logger
 
     args = parse_args()
@@ -67,6 +75,8 @@ def main():
         cfg.train.base_lr = args.lr
     if args.workers is not None:
         cfg.system.num_workers = args.workers
+    if args.stm_gn:
+        cfg.stm_norm = "gn"
 
     init_distributed()
     mesh = make_mesh()
@@ -88,6 +98,12 @@ def main():
                               batch_stats=imported["trimap"].get(
                                   "batch_stats", state.batch_stats),
                               opt_state=tx.init(params))
+    start_epoch = 0
+    if args.resume:
+        state = restore_train_state(args.resume, state)
+        start_epoch = min(int(state.step) // iters_per_epoch,
+                          cfg.train.total_epochs)
+        logger.info(f"resumed at step {int(state.step)} (epoch {start_epoch})")
 
     train_step = make_trimap_s1_train_step(cfg, tx)
     meter = AverageMeter()
@@ -97,7 +113,7 @@ def main():
 
     from otvm_tpu.eval.metrics import reference_iou
 
-    for epoch in range(total_epochs):
+    for epoch in range(start_epoch, total_epochs):
         idx = epoch_indices(len(dataset), epoch, args.repeats,
                             cfg.system.random_seed,
                             jax.process_index(), jax.process_count())
@@ -110,6 +126,8 @@ def main():
         loss_acc, n_acc = None, 0
         for i, sample in enumerate(loader):
             if cfg.system.testmode and i > 20:
+                break
+            if args.max_iters and i >= args.max_iters:
                 break
             # uint8 wire format (the TPU tunnel moves ~4-6 MB/s; float32
             # batches cost seconds per iteration) + on-device composite
