@@ -25,6 +25,15 @@ timeout 3000 python scripts/b4_tiling_probe.py --size 512 --frames 8 | tee /tmp/
 # 5. HD pass (VERDICT r2 #7): chunked dispatch at HD.
 timeout 5000 python scripts/perf_sweep.py --configs hd_c1,hd_c4,hd_c8 --frames 32 | tee /tmp/hd_sweep.json || true
 
-# 6. Bench drift check (VERDICT r3 #7): today's bench on today's code;
-#    BENCH_NOTES gets the attribution paragraph.
-timeout 3000 python bench.py | tee /tmp/bench_r4.json || true
+# 6. Bench drift bisect (VERDICT r3 #7): 68.0 -> 67.6 -> 66.5 fps over
+#    rounds 1-3.  Re-run the SAME bench.py at the r1/r2 code states on
+#    TODAY's chip+tunnel: if old code also reads ~today's number, the drift
+#    is environment (tunnel latency: the per-frame dispatch path pays one
+#    RPC per frame); if old code is faster, it's a code regression to chase.
+timeout 3000 python bench.py | tee /tmp/bench_r4_head.json || true
+for REV in 384b953 8c3c501 8ee3765; do   # r1/r2/r3 end-of-round code states
+    git worktree add /tmp/bisect_$REV $REV 2>/dev/null || true
+    (cd /tmp/bisect_$REV && timeout 3000 python bench.py) \
+        | tee /tmp/bench_bisect_$REV.json || true
+    git worktree remove --force /tmp/bisect_$REV 2>/dev/null || true
+done

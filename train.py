@@ -163,6 +163,9 @@ def main():
                                   batch_stats=donor.batch_stats,
                                   opt_state=tx.init(params))
     start_epoch = 0
+    if args.resume and not os.path.isdir(args.resume):
+        logger.info(f"--resume {args.resume}: no checkpoint yet, fresh start")
+        args.resume = None
     if args.resume:
         state = restore_train_state(args.resume, state)
         # epoch position follows the restored step so a relaunched chain
