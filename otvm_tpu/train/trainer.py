@@ -189,10 +189,16 @@ def init_train_state(cfg: Config, rng: jax.Array, tx=None,
     kwargs = {}
     if stm.hdim > 0:
         kwargs = dict(alpha=mask, hidden=jnp.zeros((1, h, w, stm.hdim)))
-    stm_m = stm.init(r1, frame, mask, mask, method=STM.memorize, **kwargs)
+    # inits run under jit: eager op-by-op dispatch costs seconds per op on
+    # tunneled hosts (docs/BENCH_NOTES.md), turning every process start into
+    # minutes; one cached compile makes restarts (supervisor relaunches,
+    # eval loads) near-instant.
+    stm_m = jax.jit(lambda r: stm.init(r, frame, mask, mask,
+                                       method=STM.memorize, **kwargs))(r1)
     hw16 = (h // 16) * (w // 16)
-    stm_s = stm.init(r2, frame, jnp.zeros((1, 1, hw16, stm.key_dim)),
-                     jnp.zeros((1, 1, hw16, stm.val_dim)), None, method=STM.segment)
+    stm_s = jax.jit(lambda r: stm.init(
+        r, frame, jnp.zeros((1, 1, hw16, stm.key_dim)),
+        jnp.zeros((1, 1, hw16, stm.val_dim)), None, method=STM.segment))(r2)
 
     def merge(a, b):
         out = dict(a)
@@ -204,7 +210,8 @@ def init_train_state(cfg: Config, rng: jax.Array, tx=None,
     stm_params = merge(dict(stm_m["params"]), dict(stm_s["params"]))
     batch_stats = merge(dict(stm_m.get("batch_stats", {})),
                         dict(stm_s.get("batch_stats", {})))
-    fba_v = fba.init(r3, jnp.zeros((1, h, w, 11)), frame, jnp.zeros((1, h, w, 2)))
+    fba_v = jax.jit(lambda r: fba.init(r, jnp.zeros((1, h, w, 11)), frame,
+                                       jnp.zeros((1, h, w, 2))))(r3)
     params = {"stm": stm_params, "fba": dict(fba_v["params"])}
     opt_state = tx.init(params) if tx is not None else None
     return TrainState(params, batch_stats, opt_state, jnp.zeros((), jnp.int32))
