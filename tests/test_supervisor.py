@@ -1,6 +1,8 @@
 """scripts/run_supervised.py: the stall watchdog must restart silently-hung
 processes (the observed axon-tunnel failure mode), propagate real crashes,
-and leave healthy runs alone."""
+and leave healthy runs alone.  Progress = new lines matching the progress
+regex; startup writes must not count (see the livelock note in the
+script's docstring)."""
 import os
 import subprocess
 import sys
@@ -19,7 +21,7 @@ def _run(tmp_path, child_src, *sup_args, timeout=120):
     child.write_text(textwrap.dedent(child_src))
     prog = tmp_path / "progress.log"
     cmd = [sys.executable, SUP, "--progress-file", str(prog),
-           "--poll-secs", "0.5", *sup_args,
+           "--progress-regex", "tick", "--poll-secs", "0.5", *sup_args,
            "--", sys.executable, str(child), str(prog)]
     return subprocess.run(cmd, capture_output=True, text=True, timeout=timeout)
 
@@ -57,13 +59,26 @@ def test_healthy_run_untouched(tmp_path):
 
 
 def test_stalled_run_restarted_and_resumes(tmp_path):
-    r = _run(tmp_path, STALL_THEN_OK, "--stall-secs", "2", "--grace-secs", "0",
+    r = _run(tmp_path, STALL_THEN_OK, "--stall-secs", "2", "--grace-secs", "60",
              "--max-restarts", "2")
     assert r.returncode == 0, r.stdout + r.stderr
     assert "restarting" in r.stdout and "relaunch 1/2" in r.stdout
 
 
 def test_crash_propagates_immediately(tmp_path):
-    r = _run(tmp_path, CRASH, "--stall-secs", "30", "--grace-secs", "0")
+    r = _run(tmp_path, CRASH, "--stall-secs", "30", "--grace-secs", "30")
     assert r.returncode == 7, r.stdout + r.stderr
+    assert "restarting" not in r.stdout
+
+
+GRACE = """
+import sys, time
+time.sleep(4)   # silent 'compile' longer than stall budget
+open(sys.argv[1], 'a').write("tick\\n")
+"""
+
+
+def test_silent_cold_start_spared_by_grace(tmp_path):
+    r = _run(tmp_path, GRACE, "--stall-secs", "1", "--grace-secs", "30")
+    assert r.returncode == 0, r.stdout + r.stderr
     assert "restarting" not in r.stdout
