@@ -43,7 +43,7 @@ def make_trimap_features(tri3: jnp.ndarray, exact_edt: bool = False
 
     feats8 = [bg clicks x3, fg clicks x3, soft bg prob, soft fg prob];
     trimask = hard unknown region (argmax == 1)."""
-    am = jnp.argmax(tri3, axis=-1)
+    am = L.argmax_small(tri3)
     t2b = (am == 0).astype(jnp.float32)
     t2f = (am == 2).astype(jnp.float32)
     # clicks are gradient-free by construction (binarized inputs; the
@@ -303,7 +303,7 @@ def joint_train_forward(stm_vars, fba_vars, batch: Dict[str, jnp.ndarray],
 
     # trimask for the loss comes from the GT trimap (preprocess path,
     # models/alpha/model.py:55-64); clicks are not needed for the GT.
-    gt_trimask = (jnp.argmax(tri, axis=-1) == 1).astype(jnp.float32)[..., None]
+    gt_trimask = (L.argmax_small(tri) == 1).astype(jnp.float32)[..., None]
 
     preds_trimap = [None] * S
     preds_trimap_refine = [None] * S
@@ -376,11 +376,11 @@ def joint_train_forward(stm_vars, fba_vars, batch: Dict[str, jnp.ndarray],
         alphas, comps = L1[3], L1[4]
 
     if use_trimap_net:
-        gt_labels = jnp.argmax(tri[:, 1:], axis=-1)          # [B, S-1, H, W]
+        gt_labels = L.argmax_small(tri[:, 1:])          # [B, S-1, H, W]
         lt = jnp.stack(logit_trimap, axis=1).astype(jnp.float32)
         loss_trimap = L.cross_entropy(lt, gt_labels)
         if refinement:
-            gt_all = jnp.argmax(tri, axis=-1)
+            gt_all = L.argmax_small(tri)
             ltr = jnp.stack(logit_trimap_refine, axis=1).astype(jnp.float32)
             loss_trimap = loss_trimap + L.cross_entropy(ltr, gt_all)
     else:
@@ -435,7 +435,7 @@ def trimap_train_forward(stm_vars, batch: Dict[str, jnp.ndarray],
         logits_list.append(logit)
         Es[t] = jax.nn.softmax(logit, axis=-1)
 
-    gt = jnp.argmax(tri, axis=-1)                       # [B, S, H, W]
+    gt = L.argmax_small(tri)                       # [B, S, H, W]
     loss = sum(L.cross_entropy(logits_list[t - 1].astype(jnp.float32),
                                gt[:, t], ignore_label)
                for t in range(1, S)) / float(S - 1)

@@ -32,6 +32,7 @@ from flax import struct
 
 from ..config import Config
 from ..models.otvm import joint_train_forward, trimap_train_forward
+from . import losses as L
 from ..data.loader import decode_wire
 from ..parallel.mesh import make_mesh, replicate, shard_batch
 from .optim import SCHEDULES, radam
@@ -162,8 +163,8 @@ def make_trimap_s1_train_step(cfg: Config, tx: optax.GradientTransformation):
         # hard labels of pred/GT for the in-training IoU metric
         # (train_s1_trimap.py:287-303); argmax on-device keeps the
         # host transfer at 1 byte/px instead of the soft trimaps.
-        pred_lab = jnp.argmax(aux["pred"], axis=-1).astype(jnp.uint8)
-        gt_lab = jnp.argmax(batch["tri"], axis=-1).astype(jnp.uint8)
+        pred_lab = L.argmax_small(aux["pred"]).astype(jnp.uint8)
+        gt_lab = L.argmax_small(batch["tri"]).astype(jnp.uint8)
         return (TrainState(params, state.batch_stats, opt_state, state.step + 1),
                 dict(loss=loss, pred_lab=pred_lab, gt_lab=gt_lab))
 

@@ -143,3 +143,17 @@ def test_fba_sequence_loss_against_reference(ref):
     np.testing.assert_allclose(float(j_ac), float(t_ac), rtol=1e-4)
     np.testing.assert_allclose(float(j_lap), float(t_lap), rtol=1e-4)
     np.testing.assert_allclose(float(j_grad), float(t_grad), rtol=1e-4)
+
+
+def test_argmax_small_matches_jnp_argmax():
+    # argmax_small is the padding-friendly unrolled argmax (r4 s4 OOM fix);
+    # it must keep jnp.argmax's first-max-wins tie semantics exactly.
+    rs = np.random.RandomState(3)
+    x = rs.randn(2, 4, 8, 3).astype(np.float32)
+    # inject ties: duplicate channels at some pixels
+    x[0, :2, :, 1] = x[0, :2, :, 0]
+    x[1, 2:, :, 2] = x[1, 2:, :, 1]
+    x[0, 3, 0, :] = 0.0  # all-equal pixel -> index 0
+    got = np.asarray(L.argmax_small(jnp.asarray(x)))
+    want = np.asarray(jnp.argmax(jnp.asarray(x), axis=-1))
+    np.testing.assert_array_equal(got, want)
