@@ -67,11 +67,15 @@ def main():
         return eval_frame_step(stm_vars, fba_vars, bank, frame, first_tri,
                                first, mem, last, stage=4, max_memory_num=MAX_MEM)
 
+    # boolean flags staged ONCE: each jnp.asarray(bool) is a device_put, and
+    # on a tunneled chip that is one RPC of latency per flag per frame
+    T, F = jnp.asarray(True), jnp.asarray(False)
+
     # warmup / compile (first frame + steady-state branch)
-    out = step(bank, frames[0], jnp.asarray(True), jnp.asarray(False), jnp.asarray(False))
+    out = step(bank, frames[0], T, F, F)
     for i in range(1, N_WARMUP):
-        out = step(out.bank, frames[i % len(frames)], jnp.asarray(False),
-                   jnp.asarray(i % SKIP == 0), jnp.asarray(False))
+        out = step(out.bank, frames[i % len(frames)], F,
+                   (T if i % SKIP == 0 else F), F)
     jax.block_until_ready(out.alpha)
     assert bool(jnp.isfinite(out.alpha.astype(jnp.float32)).all()), "non-finite alpha"
     bank = out.bank
@@ -104,8 +108,8 @@ def main():
     else:
         t0 = time.perf_counter()
         for i in range(N_FRAMES):
-            out = step(bank, frames[i % len(frames)], jnp.asarray(False),
-                       jnp.asarray(i % SKIP == 0), jnp.asarray(False))
+            out = step(bank, frames[i % len(frames)], F,
+                       (T if i % SKIP == 0 else F), F)
             bank = out.bank
         jax.block_until_ready(out.alpha)
         dt = time.perf_counter() - t0

@@ -146,6 +146,9 @@ class StreamingEvaluator:
                                      max_num, pad, f0, alphas, trimaps)
         else:
             pending = None  # (EvalOutput, pad) — overlap host prep with device
+            _T, _F = jnp.asarray(True), jnp.asarray(False)  # staged once: the
+            # tunnel pays ~1 RPC per device_put, so per-frame flag uploads cost
+            # real latency; reusing two resident scalars makes flags free.
             for i in range(n):
                 f, _, pad = (_pad_frame(frames01[i], None,
                                         self.protocol.pad_multiple)
@@ -154,7 +157,8 @@ class StreamingEvaluator:
                 out = eval_frame_step(
                     self.trimap_vars, self.alpha_vars, bank,
                     jnp.asarray(_wire_u8(f)[None]), first_tri_dev,
-                    jnp.asarray(first), jnp.asarray(memorize), jnp.asarray(last),
+                    (_T if first else _F), (_T if memorize else _F),
+                    (_T if last else _F),
                     stage=self.protocol.stage, max_memory_num=max_num,
                     arch=self.protocol.arch, stm_norm=self.stm_norm)
                 bank = out.bank
@@ -274,6 +278,7 @@ class TrimapEvaluator:
         first_tri_dev = jnp.asarray(t0[None])
         trimaps = []
         t_start = time.perf_counter()
+        _T, _F = jnp.asarray(True), jnp.asarray(False)  # staged once (see above)
         for i in range(n):
             f, _, pad = (_pad_frame(frames01[i], None,
                                     self.protocol.pad_multiple)
@@ -281,7 +286,7 @@ class TrimapEvaluator:
             first, memorize, _ = flags[i]
             bank, pred = trimap_eval_step(
                 self.stm_vars, bank, jnp.asarray(f[None]), first_tri_dev,
-                jnp.asarray(first), jnp.asarray(memorize),
+                (_T if first else _F), (_T if memorize else _F),
                 max_memory_num=max_num, stm_norm=self.stm_norm)
             trimaps.append(_unpad(np.asarray(pred[0]), pad))
         fps = n / (time.perf_counter() - t_start)
