@@ -183,10 +183,12 @@ def eval_chunk_step(stm_vars, fba_vars, bank: MemoryBank,
 
 
 def make_eval_bank(batch: int, height: int, width: int, max_memory_num: int = 5,
-                   dtype=jnp.float32) -> MemoryBank:
-    """Bank sized for /16 feature maps of a (padded) H x W frame."""
+                   dtype=jnp.float32, scale: int = 1) -> MemoryBank:
+    """Bank sized for /16 feature maps of a (padded) H x W frame.
+    scale > 1 sizes it for the width-scaled dryrun/test model."""
     assert height % 16 == 0 and width % 16 == 0
-    return init_bank(batch, (height // 16) * (width // 16), max_memory_num, dtype)
+    return init_bank(batch, (height // 16) * (width // 16), max_memory_num,
+                     dtype, key_dim=128 // scale, val_dim=512 // scale)
 
 
 @functools.partial(jax.jit, static_argnames=("stage", "exact_edt", "arch"))
@@ -292,7 +294,7 @@ def joint_train_forward(stm_vars, fba_vars, batch: Dict[str, jnp.ndarray],
             sv, im, u, f, method=STM.memorize))
     stm_segment = ckpt(lambda sv, im, ks, vs: stm.apply(
         sv, im, ks, vs, None, method=STM.segment))
-    frame_loss = ckpt(L.fba_frame_loss)
+    frame_loss = ckpt(lambda *a: L.fba_frame_loss(*a, include_lap=False))
 
     fg, bg, gt_alpha, tri = batch["fg"], batch["bg"], batch["alpha"], batch["tri"]
     B, S = fg.shape[:2]
@@ -352,28 +354,41 @@ def joint_train_forward(stm_vars, fba_vars, batch: Dict[str, jnp.ndarray],
                 preds_trimap[t + 1] = jax.nn.softmax(logit, axis=-1)
 
     def seq_loss(preds):
-        # loss arithmetic is always fp32 (network outputs upcast here)
+        # loss arithmetic is always fp32 (network outputs upcast here).
+        # include_lap=False: the Laplacian term is computed ONCE for the whole
+        # sequence (both heads stacked) by lap_loss_diff7 below — the r5 fix
+        # for the r4 trace's dominant cost (docs/perf_r4/train_trace_top_bf16.txt).
         terms = [frame_loss(preds[t].astype(jnp.float32), gt_trimask[:, t],
                             gt_alpha[:, t],
                             fg[:, t], bg[:, t], img[:, t]) for t in range(S)]
         L_ac = sum(x[0] for x in terms) / S
         L_gr = sum(x[1] for x in terms) / S
-        L_lp = sum(x[2] for x in terms) / S
         alphas = jnp.stack([x[3] for x in terms], axis=1)
         comps = jnp.stack([x[4] for x in terms], axis=1)
         Fs = jnp.stack([x[5] for x in terms], axis=1)
         Bs = jnp.stack([x[6] for x in terms], axis=1)
         L_gr = L_gr + L.temporal_coherence_loss(alphas, Fs, Bs, gt_alpha, fg, bg)
-        return L_ac, L_lp, L_gr, alphas, comps
+        return L_ac, L_gr, alphas, comps, Fs, Bs
+
+    def diff7(alphas, Fs, Bs):
+        # [B,S,H,W,7] difference stack -> [B*S,H,W,7] for the fused pyramid
+        d = jnp.concatenate([alphas - gt_alpha, Fs - fg, Bs - bg], axis=-1)
+        return d.reshape((B * S,) + d.shape[2:])
 
     L1 = seq_loss(outs)
     if refinement:
         L2 = seq_loss(routs)
-        L_alpha_comp, L_lap, L_grad = L1[0] + L2[0], L1[1] + L2[1], L1[2] + L2[2]
-        alphas, comps = L2[3], L2[4]
+        L_alpha_comp, L_grad = L1[0] + L2[0], L1[1] + L2[1]
+        # heads are SUMMED (models/alpha/model.py head weighting), so the
+        # stacked 2*B*S diff normalizes by B*S
+        lap_in = jnp.concatenate([diff7(L1[2], L1[4], L1[5]),
+                                  diff7(L2[2], L2[4], L2[5])], axis=0)
+        alphas, comps = L2[2], L2[3]
     else:
-        L_alpha_comp, L_lap, L_grad = L1[0], L1[1], L1[2]
-        alphas, comps = L1[3], L1[4]
+        L_alpha_comp, L_grad = L1[0], L1[1]
+        lap_in = diff7(L1[2], L1[4], L1[5])
+        alphas, comps = L1[2], L1[3]
+    L_lap = ckpt(L.lap_loss_diff7)(lap_in, B * S)
 
     if use_trimap_net:
         gt_labels = L.argmax_small(tri[:, 1:])          # [B, S-1, H, W]

@@ -144,15 +144,103 @@ def lap_loss(img, tgt, mask=None, normalize=True, max_levels=5):
 
 
 # ---------------------------------------------------------------------------
+# Fused Laplacian pyramid loss (round 5)
+#
+# The r4 bf16 train-step trace (docs/perf_r4/train_trace_top_bf16.txt) showed
+# the step's dominant XLA cost to be dozens of 10-34 ms single-channel 5x5
+# depthwise gaussian fusions: joint_train_forward ran lap_loss per frame, per
+# head, per quantity (alpha/F/B) — ~36 pyramid constructions per step, each
+# level a separate 1- or 3-channel conv dispatch whose C-minormost layout
+# wastes 127/128 (or 125/128) of the TPU vector lanes.
+#
+# Two exact algebraic facts collapse all of it into ONE pyramid:
+#   1. The Laplacian pyramid is LINEAR in its input (convs, down/upsample and
+#      subtraction are linear), so pyr(a)_lev - pyr(b)_lev == pyr(a-b)_lev —
+#      only the pyramid of the DIFFERENCE is needed (utils/loss_func.py
+#      computes |pyr(a)-pyr(b)| per level; identical up to fp reassociation).
+#   2. All (frame, head, quantity) pyramids share the same spatial shape, so
+#      the differences stack: alpha/F/B concat to 7 channels, frames x heads
+#      concat on batch.  One [N*S*heads, H, W, 7] pyramid — 10 gaussian
+#      applications per step instead of ~360 — with per-group abs-sums
+#      recovering each original term's normalizer exactly.
+#
+# The gaussian itself is applied as a SEPARABLE 5-tap shift-multiply-add
+# ([1,4,6,4,1]/16 per axis; outer product == the OpenCV pyrDown kernel /256
+# exactly) instead of lax.conv: pure slice+elementwise ops fuse into a single
+# bandwidth-bound XLA loop with no conv layout copies.
+# ---------------------------------------------------------------------------
+
+_GAUSS_TAPS = (1.0 / 16, 4.0 / 16, 6.0 / 16, 4.0 / 16, 1.0 / 16)
+
+
+def _gauss_sep(x, scale=1.0):
+    """Separable 5x5 gaussian, reflect pad 2 — == _conv_gauss up to fp
+    reassociation (exact taps: 1/16 and 6/16 products give the /256 kernel)."""
+    for axis in (1, 2):
+        pad = [(0, 0)] * 4
+        pad[axis] = (2, 2)
+        xp = jnp.pad(x, pad, mode="reflect")
+        n = x.shape[axis]
+        x = sum(t * jax.lax.slice_in_dim(xp, i, i + n, axis=axis)
+                for i, t in enumerate(_GAUSS_TAPS))
+    return x * scale if scale != 1.0 else x
+
+
+def lap_loss_diff7(diff7, avg_count, max_levels=5):
+    """Fused L_lap == L_a_lap + 0.25*(L_F_lap + L_B_lap), summed over the
+    stacked leading axis and divided by `avg_count` (= B*S of the original
+    per-frame calls; the caller may stack refinement-head diffs too, which the
+    reference SUMS across heads, so avg_count stays B*S).
+
+    diff7: [N, H, W, 7] with channels [alpha-gt | F-fg (3) | B-bg (3)];
+    N = B*S*heads.  Numerically equals
+        sum_t [ lap_loss(alpha_t, gt_t) + 0.25*(lap_loss(F_t, fg_t)
+                + lap_loss(B_t, bg_t)) ] / S   (summed over heads)
+    up to fp reassociation (linearity of the pyramid, see header comment).
+    Matches /root/reference/utils/loss_func.py:141-173 semantics with
+    normalize=True and the models/alpha/model.py:160-164 head weighting.
+    """
+    h, w = diff7.shape[1], diff7.shape[2]
+    lw, uw, lh, uh = divide_pad_amounts(h, w, 32)
+    if lw + uw + lh + uh:
+        diff7 = jnp.pad(diff7, ((0, 0), (lh, uh), (lw, uw), (0, 0)))
+    hh, ww = diff7.shape[1], diff7.shape[2]
+
+    s_a = s_f = s_b = jnp.zeros((), diff7.dtype)
+    current = diff7
+    for lev in range(max_levels):
+        filtered = _gauss_sep(current)
+        down = filtered[:, ::2, ::2, :]
+        n, dh, dw, c = down.shape
+        up = jnp.zeros((n, dh * 2, dw * 2, c), down.dtype)
+        up = up.at[:, ::2, ::2, :].set(down)
+        up = _gauss_sep(up, scale=4.0)
+        lap = jnp.abs(current - up)
+        w_lev = float(2 ** lev)
+        s_a = s_a + w_lev * jnp.sum(lap[..., 0])
+        s_f = s_f + w_lev * jnp.sum(lap[..., 1:4])
+        s_b = s_b + w_lev * jnp.sum(lap[..., 4:7])
+        current = down
+
+    denom = avg_count * hh * ww  # n*c*hh*ww per call, S-average folded in
+    return s_a / denom + 0.25 * (s_f + s_b) / (denom * 3.0)
+
+
+# ---------------------------------------------------------------------------
 # FBA per-frame loss stack (models/alpha/model.py:101-187)
 # ---------------------------------------------------------------------------
 
-def fba_frame_loss(pred7, trimask, gt_alpha, fg, bg, img, normalize=True):
+def fba_frame_loss(pred7, trimask, gt_alpha, fg, bg, img, normalize=True,
+                   include_lap=True):
     """One frame of fba_single_image_loss.  All NHWC, pred7 [B,H,W,7].
 
     Returns (L_alpha_comp, L_grad, L_lap, alpha, comp, F, B) — the per-frame
     terms; temporal-coherence is added over the stacked sequence by
-    `temporal_coherence_loss`."""
+    `temporal_coherence_loss`.
+
+    include_lap=False skips the per-frame Laplacian term (returns 0.0 in its
+    slot) so the caller can compute it once for the whole sequence via the
+    fused `lap_loss_diff7` (the r5 train-step optimization)."""
     alpha = pred7[..., 0:1]
     predF = pred7[..., 1:4]
     predB = pred7[..., 4:7]
@@ -175,10 +263,13 @@ def fba_frame_loss(pred7, trimask, gt_alpha, fg, bg, img, normalize=True):
     L_excl = exclusion_loss(cF, cB, level=3, normalize=normalize)
     L_grad = L_ag + 0.25 * L_excl
 
-    L_a_lap = lap_loss(alpha, gt_alpha, normalize=normalize)
-    L_F_lap = lap_loss(cF, fg, normalize=normalize)
-    L_B_lap = lap_loss(cB, bg, normalize=normalize)
-    L_lap = L_a_lap + 0.25 * (L_F_lap + L_B_lap)
+    if include_lap:
+        L_a_lap = lap_loss(alpha, gt_alpha, normalize=normalize)
+        L_F_lap = lap_loss(cF, fg, normalize=normalize)
+        L_B_lap = lap_loss(cB, bg, normalize=normalize)
+        L_lap = L_a_lap + 0.25 * (L_F_lap + L_B_lap)
+    else:
+        L_lap = jnp.zeros(())
 
     return L_alpha_comp, L_grad, L_lap, alpha, comp, cF, cB
 

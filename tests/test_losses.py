@@ -84,6 +84,35 @@ def test_lap_loss(ref):
     np.testing.assert_allclose(float(j), float(t), rtol=1e-4)
 
 
+def test_lap_loss_diff7_matches_unfused():
+    """Fused single-pyramid lap loss == per-frame/per-quantity lap_loss sums
+    (linearity of the pyramid; see losses.py header comment)."""
+    B, S, H, W = 2, 3, 64, 48  # W=48 exercises the /32 padding path
+    rng = np.random.RandomState(11)
+    r = lambda c, s: rng.rand(B, S, H, W, c).astype(np.float32) + s
+    alphas, gta = r(1, 0), r(1, 0)
+    Fs, fgs = r(3, 0.1), r(3, 0.2)
+    Bs, bgs = r(3, 0.3), r(3, 0.4)
+
+    want = 0.0
+    for t in range(S):
+        want = want + (
+            L.lap_loss(jnp.asarray(alphas[:, t]), jnp.asarray(gta[:, t]))
+            + 0.25 * (L.lap_loss(jnp.asarray(Fs[:, t]), jnp.asarray(fgs[:, t]))
+                      + L.lap_loss(jnp.asarray(Bs[:, t]), jnp.asarray(bgs[:, t]))))
+    want = float(want) / S
+
+    d = np.concatenate([alphas - gta, Fs - fgs, Bs - bgs], axis=-1)
+    d = d.reshape(B * S, H, W, 7)
+    got = float(L.lap_loss_diff7(jnp.asarray(d), B * S))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    # two stacked heads sum (refinement semantics): diff stacked 2x on batch,
+    # same avg_count
+    got2 = float(L.lap_loss_diff7(jnp.asarray(np.concatenate([d, d])), B * S))
+    np.testing.assert_allclose(got2, 2 * want, rtol=1e-5)
+
+
 def test_cross_entropy(ref):
     import torch
     logits = np.random.RandomState(0).randn(2, 8, 8, 3).astype(np.float32)
@@ -143,6 +172,16 @@ def test_fba_sequence_loss_against_reference(ref):
     np.testing.assert_allclose(float(j_ac), float(t_ac), rtol=1e-4)
     np.testing.assert_allclose(float(j_lap), float(t_lap), rtol=1e-4)
     np.testing.assert_allclose(float(j_grad), float(t_grad), rtol=1e-4)
+
+    # fused lap path (what joint_train_forward actually runs) vs torch oracle:
+    # diff7 uses the masked compositions cF/cB exactly as the per-frame calls do
+    Fs_c = np.stack([np.asarray(x[5]) for x in terms], 1)
+    Bs_c = np.stack([np.asarray(x[6]) for x in terms], 1)
+    d = np.concatenate([np.asarray(alphas) - gts.transpose(0, 1, 3, 4, 2),
+                        Fs_c - fgs.transpose(0, 1, 3, 4, 2),
+                        Bs_c - bgs.transpose(0, 1, 3, 4, 2)], axis=-1)
+    j_lap_fused = L.lap_loss_diff7(jnp.asarray(d.reshape(B * S, H, W, 7)), B * S)
+    np.testing.assert_allclose(float(j_lap_fused), float(t_lap), rtol=1e-4)
 
 
 def test_argmax_small_matches_jnp_argmax():
