@@ -43,6 +43,14 @@ class EvalProtocol:
     chunk: int = 1                   # frames per device dispatch (lax.scan);
                                      # >1 amortizes dispatch for offline
                                      # streams, identical per-frame protocol
+    scale: int = 1                   # width/depth divisor of the model being
+                                     # served (1 = real model; >1 only for
+                                     # scaled-dryrun/CPU tests, chunk==1 path)
+    dtype: str = "fp32"              # "bf16": serve the network + memory bank
+                                     # in bfloat16 (the production/bench
+                                     # serving precision — oracle parity is
+                                     # measured in fp32, the protocol is
+                                     # unchanged).  Outputs are returned fp32.
     pad_multiple: int = 32           # pad H,W up to this multiple.  32 is
                                      # the reference protocol
                                      # (models/alpha/model.py:408-410); on a
@@ -104,9 +112,17 @@ class StreamingEvaluator:
     """Holds converted params; call `run_video` per clip."""
 
     def __init__(self, trimap_vars, alpha_vars, protocol: EvalProtocol):
+        if protocol.dtype == "bf16":
+            cast = lambda t: jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, t)
+            trimap_vars = cast(trimap_vars) if trimap_vars else trimap_vars
+            alpha_vars = cast(alpha_vars)
         self.trimap_vars = trimap_vars
         self.alpha_vars = alpha_vars
         self.protocol = protocol
+        self.bank_dtype = (jnp.bfloat16 if protocol.dtype == "bf16"
+                           else jnp.float32)
         # GN-trunk checkpoints (from-scratch recipe) carry no BN stats —
         # that absence selects the matching model variant automatically.
         self.stm_norm = ("frozen_bn" if (trimap_vars or {}).get("batch_stats")
@@ -135,13 +151,15 @@ class StreamingEvaluator:
         f0, t0, pad = _pad_frame(frames01[0], first_trimap3,
                                  self.protocol.pad_multiple)
         ph, pw = f0.shape[:2]
-        bank = make_eval_bank(1, ph, pw, max_num)
-        first_tri_dev = jnp.asarray(t0[None])
+        bank = make_eval_bank(1, ph, pw, max_num, dtype=self.bank_dtype,
+                              scale=self.protocol.scale)
+        first_tri_dev = jnp.asarray(t0[None], self.bank_dtype)
 
         alphas, trimaps = [], []
         t_start = time.perf_counter()
 
         if self.protocol.chunk > 1:
+            assert self.protocol.scale == 1, "chunked path serves the real model"
             bank = self._run_chunked(bank, frames01, first_tri_dev, flags,
                                      max_num, pad, f0, alphas, trimaps)
         else:
@@ -160,7 +178,8 @@ class StreamingEvaluator:
                     (_T if first else _F), (_T if memorize else _F),
                     (_T if last else _F),
                     stage=self.protocol.stage, max_memory_num=max_num,
-                    arch=self.protocol.arch, stm_norm=self.stm_norm)
+                    arch=self.protocol.arch, scale=self.protocol.scale,
+                    stm_norm=self.stm_norm)
                 bank = out.bank
                 if pending is not None:
                     self._collect(pending, alphas, trimaps)
@@ -183,8 +202,10 @@ class StreamingEvaluator:
     @staticmethod
     def _collect(pending, alphas, trimaps):
         out, pad = pending
-        alphas.append(_unpad(np.asarray(out.alpha[0, :, :, 0]), pad))
-        trimaps.append(_unpad(np.asarray(out.trimap[0]), pad))
+        alphas.append(_unpad(
+            np.asarray(out.alpha[0, :, :, 0]).astype(np.float32, copy=False), pad))
+        trimaps.append(_unpad(
+            np.asarray(out.trimap[0]).astype(np.float32, copy=False), pad))
 
     def _run_chunked(self, bank, frames01, first_tri_dev, flags, max_num,
                      pad, f0, alphas, trimaps):
@@ -251,6 +272,104 @@ class StreamingEvaluator:
         if viz_dir is not None:
             write_viz(viz_dir, frames01[:n], trimaps, alphas)
         return alphas, trimaps, fps
+
+
+class MultiStreamEvaluator(StreamingEvaluator):
+    """N concurrent video streams on ONE chip: round-robin B=1 dispatches
+    through the single compiled `eval_frame_step` executable, one memory
+    bank per stream.
+
+    Why not batch the streams (B=N)?  Measured on-chip (docs/BENCH_NOTES.md,
+    docs/perf_r4/b4_serialize.json): XLA picks worse conv tilings with a
+    batch dim present — B=4 inflates per-stream HBM bytes 1.6x, and since
+    the step runs at ~90% of the HBM roofline, one B=4 dispatch aggregates
+    28.5 fps while 4 round-robin B=1 dispatches aggregate 53.9 fps (1.9x).
+    Round-robin reuses the B=1 executable and its good tilings.
+
+    Each stream carries its OWN MemoryBank pytree (keys/values/count), so
+    the bank's single scalar slot-count is per-stream by construction and
+    the eval protocol (memorize cadence, keep-slot-0 eviction, large-input
+    halving — /root/reference/eval.py:157-190) applies to each stream
+    independently, exactly as the reference's serial per-video loop does.
+    Streams may differ in length; different resolutions each compile once
+    (same bucketing as single-stream).  Multi-chip serving instead puts one
+    stream per chip over the data mesh (__graft_entry__.dryrun_multichip_eval).
+    """
+
+    def run_videos(self, videos: Sequence[Dict],
+                   out_root: Optional[str] = None,
+                   viz_root: Optional[str] = None):
+        """videos: dicts with keys `frames` (list of [H,W,3] float RGB in
+        [0,1]), `first_trimap` ([H,W,3] one-hot), optional `seq_name`,
+        `filenames`.  Returns (results, aggregate_fps) where results[i] =
+        (alphas, trimaps) for stream i and aggregate_fps counts ALL frames
+        over the wall-clock of the interleaved run."""
+        assert self.protocol.stage > 2, "multi-stream serving is the joint path"
+        sessions = []
+        for v in videos:
+            frames = v["frames"]
+            n = len(frames)
+            h, w = frames[0].shape[:2]
+            flags, max_num, _ = self.protocol.flags(n, h, w)
+            f0, t0, pad = _pad_frame(frames[0], v["first_trimap"],
+                                     self.protocol.pad_multiple)
+            ph, pw = f0.shape[:2]
+            sessions.append(dict(
+                frames=frames, flags=flags, max_num=max_num, pad=pad, f0=f0,
+                bank=make_eval_bank(1, ph, pw, max_num, dtype=self.bank_dtype,
+                                    scale=self.protocol.scale),
+                first_tri=jnp.asarray(t0[None], self.bank_dtype),
+                alphas=[], trimaps=[], pending=None,
+                seq_name=v.get("seq_name"), filenames=v.get("filenames")))
+
+        _T, _F = jnp.asarray(True), jnp.asarray(False)  # staged once
+        total_frames = sum(len(s["frames"]) for s in sessions)
+        t_start = time.perf_counter()
+        step = 0
+        while any(step < len(s["frames"]) for s in sessions):
+            for s in sessions:
+                if step >= len(s["frames"]):
+                    continue
+                f = (s["f0"] if step == 0 else
+                     _pad_frame(s["frames"][step], None,
+                                self.protocol.pad_multiple)[0])
+                first, memorize, last = s["flags"][step]
+                out = eval_frame_step(
+                    self.trimap_vars, self.alpha_vars, s["bank"],
+                    jnp.asarray(_wire_u8(f)[None]), s["first_tri"],
+                    (_T if first else _F), (_T if memorize else _F),
+                    (_T if last else _F),
+                    stage=self.protocol.stage, max_memory_num=s["max_num"],
+                    arch=self.protocol.arch, scale=self.protocol.scale,
+                    stm_norm=self.stm_norm)
+                s["bank"] = out.bank
+                # collect the PREVIOUS dispatch's outputs while this one
+                # computes (same software pipelining as run_video)
+                if s["pending"] is not None:
+                    self._collect(s["pending"], s["alphas"], s["trimaps"])
+                s["pending"] = (out, s["pad"])
+            step += 1
+        for s in sessions:
+            if s["pending"] is not None:
+                self._collect(s["pending"], s["alphas"], s["trimaps"])
+        agg_fps = total_frames / (time.perf_counter() - t_start)
+
+        results = []
+        for k, s in enumerate(sessions):
+            if out_root is not None:
+                import cv2
+                d = os.path.join(out_root, s["seq_name"] or f"stream{k}")
+                os.makedirs(d, exist_ok=True)
+                for i, a in enumerate(s["alphas"]):
+                    name = (os.path.splitext(s["filenames"][i])[0] + ".png"
+                            if s["filenames"] else f"{i:05d}.png")
+                    cv2.imwrite(os.path.join(d, name),
+                                (np.clip(a, 0, 1) * 255).astype(np.uint8))
+            if viz_root is not None:
+                write_viz(os.path.join(viz_root, s["seq_name"] or f"stream{k}"),
+                          s["frames"], s["trimaps"], s["alphas"])
+            results.append((s["alphas"], s["trimaps"]))
+        return results, agg_fps
 
 
 class TrimapEvaluator:
