@@ -48,8 +48,9 @@ def load_weights(path, stage=4, arch="resnet50_GN_WS"):
 
     from otvm_tpu.config import get_cfg_defaults
     from otvm_tpu.train.trainer import init_train_state
-    from otvm_tpu.utils.checkpoint import (import_torch_checkpoint,
-                                           restore_params_only, restore_pytree)
+    from otvm_tpu.utils.checkpoint import (has_batch_stats,
+                                           import_torch_checkpoint,
+                                           restore_params_only)
 
     cfg = get_cfg_defaults()
     cfg.train.stage = stage
@@ -57,9 +58,16 @@ def load_weights(path, stage=4, arch="resnet50_GN_WS"):
     if path is not None and not path.endswith(".pth"):
         # GN-trunk checkpoints (from-scratch recipe) carry no BN stats;
         # pick the matching template BEFORE restoring so the tolerant merge
-        # doesn't backfill identity stats over a GN model.
-        raw = restore_pytree(path)
-        if not raw.get("batch_stats"):
+        # doesn't backfill identity stats over a GN model.  Metadata-only
+        # probe (has_batch_stats) — no double full-tree restore.  NOTE: a
+        # BN-trained checkpoint that somehow lost its batch_stats key would
+        # be misread as GN (param names intentionally coincide), hence the
+        # loud warning.
+        if not has_batch_stats(path):
+            print("[eval] checkpoint has no batch_stats -> serving the "
+                  "GN-trunk STM template (stm_norm=gn); if this checkpoint "
+                  "was BN-trained, its stats are missing and results will "
+                  "be wrong")
             cfg.stm_norm = "gn"
     state = init_train_state(cfg, jax.random.PRNGKey(0), None, 64, 64)
     if path is None:

@@ -39,6 +39,23 @@ def restore_pytree(path: str, target: Optional[Any] = None) -> Any:
     return ckptr.restore(path)
 
 
+def has_batch_stats(path: str) -> bool:
+    """True iff the checkpoint carries a non-empty batch_stats subtree —
+    the GN-vs-frozen-BN template probe (eval.py).  Reads only the
+    checkpoint's METADATA (tree structure), not the tensors: a full
+    restore_pytree just to inspect one subtree loads params + opt_state
+    twice per eval startup (ADVICE r4)."""
+    ckptr, p = _ckpt(path)
+    try:
+        md = ckptr.metadata(p)
+        md = md.tree if hasattr(md, "tree") else md
+        bs = md.get("batch_stats") if isinstance(md, dict) else None
+        return bool(bs)
+    except Exception:
+        tree = restore_pytree(path)
+        return bool(tree.get("batch_stats"))
+
+
 def save_train_state(path: str, state) -> None:
     save_pytree(path, dict(params=state.params, batch_stats=state.batch_stats,
                            opt_state=state.opt_state, step=state.step))

@@ -12,11 +12,11 @@ if [[ -f /tmp/post_chain_r4.pid ]]; then
     while kill -0 "$(cat /tmp/post_chain_r4.pid)" 2>/dev/null; do sleep 30; done
 fi
 
-timeout 3000 python eval.py --demo --weights weights/s4_OTVM \
+timeout 3000 python eval.py --demo --data-root /root/reference/demo --weights weights/s4_OTVM \
     --outdir /tmp/demo_r4 --viz || exit 1
 
 python scripts/make_demo_gif.py \
-    --frames demo/dove/frames --alphas /tmp/demo_r4/pred/dove \
+    --frames /root/reference/demo/dove/frames --alphas /tmp/demo_r4/pred/dove \
     --out docs/viz/dove_matte.gif --max-edge 240 --fps 8
 
 touch train_log/chain_r4/demo.done

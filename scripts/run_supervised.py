@@ -111,7 +111,16 @@ def main():
                         proc.wait(timeout=30)
                     except subprocess.TimeoutExpired:
                         os.killpg(proc.pid, signal.SIGKILL)
-                        proc.wait(timeout=30)
+                        try:
+                            proc.wait(timeout=30)
+                        except subprocess.TimeoutExpired:
+                            # unreapable child (e.g. stuck in kernel-side
+                            # tunnel I/O — the exact failure mode this
+                            # watchdog exists for): abandon the zombie and
+                            # relaunch anyway rather than crash (ADVICE r4)
+                            print(f"[supervise] pid {proc.pid} survived "
+                                  "SIGKILL wait; abandoning zombie and "
+                                  "relaunching", flush=True)
                 except ProcessLookupError:
                     pass
                 break
