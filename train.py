@@ -223,8 +223,17 @@ def main():
                 loss_meter.update(float(loss_acc) / n_acc, n_acc)
                 loss_acc, n_acc = None, 0
                 if jax.process_index() == 0:
+                    # component losses: one extra sync per log line, but
+                    # without them stage behavior is uninterpretable (the r4
+                    # s3 "loss rise" could not be attributed to CE vs the
+                    # frozen alpha terms — VERDICT r4 weak #4)
+                    comps = " ".join(
+                        f"{k}={float(metrics[k]):.4f}"
+                        for k in ("L_alpha_comp", "L_lap", "L_grad", "L_tri")
+                        if k in metrics)
                     logger.info(f"E{epoch} I{i} loss {loss:.4f} "
-                                f"({loss_meter.avg:.4f}) {dt*1000:.0f} ms/it")
+                                f"({loss_meter.avg:.4f}) {comps} "
+                                f"{dt*1000:.0f} ms/it")
         if jax.process_index() == 0 and (
                 (epoch + 1) % cfg.train.save_every_epoch == 0
                 or epoch == total_epochs - 1):
