@@ -94,9 +94,17 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, acc_ref, m_ref, l_ref,
     q = q_ref[0]                                    # [BQ, Ck]
     k = k_ref[0]                                    # [BK, Ck]
     v = v_ref[0]                                    # [BK, Cv]
+    # bf16 inputs: precision pinned to DEFAULT — this is a hand-written MXU
+    # kernel that accumulates in f32 via preferred_element_type; a GLOBAL
+    # jax_default_matmul_precision="highest" (e.g. the parity-test conftest)
+    # would otherwise inject contract_precision<fp32> into a bf16 tpu.matmul,
+    # which Mosaic rejects ("Bad lhs type").  f32 inputs keep the ambient
+    # precision so pallas-vs-XLA parity tests stay exact.
+    prec = (jax.lax.Precision.DEFAULT if q.dtype == jnp.bfloat16 else None)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale  # [BQ, BK]
+        preferred_element_type=jnp.float32,
+        precision=prec) * scale  # [BQ, BK]
     valid = mask_ref[0, 0]                           # [BK]
     s = jnp.where(valid[None, :], s, _NEG_INF)
 
@@ -109,7 +117,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, acc_ref, m_ref, l_ref,
     m_ref[:, :1] = m_cur
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=(jax.lax.Precision.DEFAULT
+                   if v.dtype == jnp.bfloat16 else None))
 
     @pl.when(kv_i == kv_blocks - 1)
     def _finish():

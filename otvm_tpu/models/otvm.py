@@ -95,7 +95,12 @@ def _eval_frame_core(stm_vars, fba_vars, bank: MemoryBank,
     hosts — see docs/BENCH_NOTES.md) and the /255 happens here, exactly.
     """
     if frame01.dtype == jnp.uint8:
-        frame01 = frame01.astype(jnp.float32) / 255.0
+        # decode in f32 (exact /255), then drop to the serving dtype so the
+        # wire path computes in the SAME precision as the device-resident
+        # path (bf16 serving: an f32 decode left lax.cond's trimap branches
+        # with mismatched dtypes — bf16 GT vs f32 segment — and broke compile)
+        frame01 = (frame01.astype(jnp.float32) / 255.0).astype(
+            first_trimap3.dtype)
     stm, fba, refinement = _models(stage, arch, scale, stm_norm)
 
     def use_gt(_):
@@ -200,7 +205,8 @@ def alpha_predict(fba_vars, frame01: jnp.ndarray, trimap3: jnp.ndarray,
     456-457) and BASELINE config[0].  Returns (alpha [B,H,W,1], fba7).
     frame01 may be uint8 (see _eval_frame_core)."""
     if frame01.dtype == jnp.uint8:
-        frame01 = frame01.astype(jnp.float32) / 255.0
+        # serving-dtype decode, see _eval_frame_core
+        frame01 = (frame01.astype(jnp.float32) / 255.0).astype(trimap3.dtype)
     _, fba, refinement = _models(stage, arch)
     feats8, _ = make_trimap_features(trimap3, exact_edt)
     x11 = jnp.concatenate([normalize_image(frame01), feats8], axis=-1)

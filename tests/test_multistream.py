@@ -71,6 +71,24 @@ def test_multistream_matches_solo(joint_vars):
         np.testing.assert_array_equal(results[0][0][i], results[2][0][i])
 
 
+def test_bf16_wire_serving(joint_vars):
+    """bf16 serving over the uint8 wire must compile and produce finite
+    alphas.  Regression: the in-jit /255 decode used to produce f32
+    unconditionally, so with a bf16 bank/trimap the lax.cond trimap
+    branches (GT vs segment) had mismatched dtypes and the wire+bf16
+    combination — the production serving config — failed to trace."""
+    stm_vars, fba_vars = joint_vars
+    proto = EvalProtocol(memory_max_num=2, memory_skip_frame=3, scale=SCALE,
+                         dtype="bf16")
+    ev = StreamingEvaluator(stm_vars, fba_vars, proto)
+    v = _mk_video(7, 3)
+    alphas, trimaps, fps = ev.run_video(v["frames"], v["first_trimap"])
+    assert len(alphas) == 3 and fps > 0
+    for a in alphas:
+        assert np.isfinite(a).all()
+        assert a.dtype == np.float32  # outputs are returned fp32
+
+
 def test_multistream_protocol_flags():
     """The per-stream flag schedule is exactly the single-stream protocol
     (memorize cadence + large-input handling are per-stream properties)."""
