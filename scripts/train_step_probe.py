@@ -85,6 +85,11 @@ def main():
             rec["xla_tflops_per_step"] = round(fl / 1e12, 2)
             rec["mfu_pct_v5e"] = round(fl / (ms / 1e3) / V5E_BF16_PEAK * 100, 2)
         if by:
+            # cost-analysis "bytes accessed" counts every operand touch,
+            # including VMEM-resident re-reads inside fusions — an UPPER
+            # bound on real HBM traffic, so this ratio can exceed 100%
+            # (observed 129% post-lap-fusion).  Treat as a roofline bound,
+            # not a measured DMA counter.
             rec["hbm_util_pct"] = round(by / (ms / 1e3) / V5E_HBM_PEAK * 100, 1)
     except Exception:
         pass
