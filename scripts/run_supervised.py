@@ -70,6 +70,11 @@ def main():
                    help="allowance before the FIRST progress line (cold XLA "
                         "compiles are silent for 10-20 min)")
     p.add_argument("--max-restarts", type=int, default=10)
+    p.add_argument("--deadline-secs", type=float, default=0.0,
+                   help="if >0: total wall budget across restarts; at the "
+                        "deadline the child group is terminated and the "
+                        "supervisor exits 0 (per-epoch checkpoints make a "
+                        "deadline-stop a valid end state, not a failure)")
     p.add_argument("--poll-secs", type=float, default=30.0)
     p.add_argument("cmd", nargs=argparse.REMAINDER, help="-- command to run")
     args = p.parse_args()
@@ -78,6 +83,22 @@ def main():
         p.error("no command given (separate with --)")
     regex = re.compile(args.progress_regex)
 
+    def _kill_group(pid):
+        try:
+            os.killpg(pid, signal.SIGTERM)
+            try:
+                proc.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                os.killpg(pid, signal.SIGKILL)
+                try:
+                    proc.wait(timeout=30)
+                except subprocess.TimeoutExpired:
+                    print(f"[supervise] pid {pid} survived SIGKILL wait; "
+                          "abandoning zombie", flush=True)
+        except ProcessLookupError:
+            pass
+
+    t_launch = time.time()
     restarts = 0
     while True:
         start = time.time()
@@ -92,6 +113,12 @@ def main():
                 break
             except subprocess.TimeoutExpired:
                 pass
+            if args.deadline_secs > 0 and time.time() - t_launch > args.deadline_secs:
+                print(f"[supervise] deadline {args.deadline_secs:.0f}s reached "
+                      "— stopping child and exiting 0 (checkpoints are the "
+                      "result)", flush=True)
+                _kill_group(proc.pid)
+                return
             now_count = _progress_count(args.progress_file, regex)
             if now_count > count:
                 count = now_count
@@ -105,24 +132,10 @@ def main():
                       f"(budget {budget:.0f}s, {count - baseline} lines this "
                       f"attempt) — restarting", flush=True)
                 stalled = True
-                try:
-                    os.killpg(proc.pid, signal.SIGTERM)
-                    try:
-                        proc.wait(timeout=30)
-                    except subprocess.TimeoutExpired:
-                        os.killpg(proc.pid, signal.SIGKILL)
-                        try:
-                            proc.wait(timeout=30)
-                        except subprocess.TimeoutExpired:
-                            # unreapable child (e.g. stuck in kernel-side
-                            # tunnel I/O — the exact failure mode this
-                            # watchdog exists for): abandon the zombie and
-                            # relaunch anyway rather than crash (ADVICE r4)
-                            print(f"[supervise] pid {proc.pid} survived "
-                                  "SIGKILL wait; abandoning zombie and "
-                                  "relaunching", flush=True)
-                except ProcessLookupError:
-                    pass
+                # unreapable children (stuck in kernel-side tunnel I/O — the
+                # exact failure mode this watchdog exists for) are abandoned
+                # inside _kill_group rather than crashing us (ADVICE r4)
+                _kill_group(proc.pid)
                 break
         if not stalled:
             if rc == 0:

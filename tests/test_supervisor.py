@@ -82,3 +82,24 @@ def test_silent_cold_start_spared_by_grace(tmp_path):
     r = _run(tmp_path, GRACE, "--stall-secs", "1", "--grace-secs", "30")
     assert r.returncode == 0, r.stdout + r.stderr
     assert "restarting" not in r.stdout
+
+
+ENDLESS = """
+import sys, time
+i = 0
+while True:
+    open(sys.argv[1], 'a').write(f"tick {i}\\n")
+    i += 1
+    time.sleep(0.2)
+"""
+
+
+def test_deadline_stops_healthy_child_with_rc0(tmp_path):
+    # s4 trains "until the clock": at --deadline-secs the child is
+    # terminated and the supervisor exits 0 — per-epoch checkpoints make
+    # this a valid end state, not a failure to propagate
+    r = _run(tmp_path, ENDLESS, "--stall-secs", "30", "--grace-secs", "30",
+             "--deadline-secs", "3", timeout=60)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "deadline" in r.stdout
+    assert "restarting" not in r.stdout
