@@ -51,6 +51,15 @@ class EvalProtocol:
                                      # serving precision — oracle parity is
                                      # measured in fp32, the protocol is
                                      # unchanged).  Outputs are returned fp32.
+    wire_u8_out: bool = False        # quantize alpha/trimap to uint8 ON
+                                     # DEVICE before the per-frame fetch
+                                     # (8.0/4.0x fewer D2H bytes).  Exactly
+                                     # the reference's output quantization —
+                                     # it writes alpha as uint8 PNGs before
+                                     # metrics read them (eval.py:136-144) —
+                                     # so this is the serving default-safe
+                                     # mode; oracle-parity runs keep f32 to
+                                     # compare pre-quantization numerics.
     pad_multiple: int = 32           # pad H,W up to this multiple.  32 is
                                      # the reference protocol
                                      # (models/alpha/model.py:408-410); on a
@@ -179,11 +188,12 @@ class StreamingEvaluator:
                     (_T if last else _F),
                     stage=self.protocol.stage, max_memory_num=max_num,
                     arch=self.protocol.arch, scale=self.protocol.scale,
-                    stm_norm=self.stm_norm)
+                    stm_norm=self.stm_norm,
+                    wire_u8_out=self.protocol.wire_u8_out)
                 bank = out.bank
                 if pending is not None:
                     self._collect(pending, alphas, trimaps)
-                pending = (out, pad)
+                pending = (self._prefetch(out), pad)
             self._collect(pending, alphas, trimaps)
         fps = n / (time.perf_counter() - t_start)
 
@@ -200,12 +210,32 @@ class StreamingEvaluator:
         return alphas, trimaps, fps
 
     @staticmethod
+    def _prefetch(out):
+        """Start the device->host copy of this dispatch's outputs NOW, so
+        the blocking np.asarray in _collect (one frame later) reads an
+        already-landed host buffer instead of paying a full D2H round trip
+        per frame.  On the tunneled chip each synchronous fetch is ~tens of
+        ms of pure latency; measured on the 4-stream serving path this was
+        the difference between 6.2 and >40 fps aggregate (docs/BENCH_NOTES).
+        No-op on backends whose arrays lack copy_to_host_async (CPU)."""
+        for a in (out.alpha, out.trimap):
+            fn = getattr(a, "copy_to_host_async", None)
+            if fn is not None:
+                fn()
+        return out
+
+    @staticmethod
     def _collect(pending, alphas, trimaps):
         out, pad = pending
-        alphas.append(_unpad(
-            np.asarray(out.alpha[0, :, :, 0]).astype(np.float32, copy=False), pad))
-        trimaps.append(_unpad(
-            np.asarray(out.trimap[0]).astype(np.float32, copy=False), pad))
+        # fetch the WHOLE arrays (prefetched above), slice in numpy: a
+        # device-side out.alpha[0,:,:,0] would be one more dispatch+fetch
+        a = np.asarray(out.alpha)[0, :, :, 0]
+        t = np.asarray(out.trimap)[0]
+        if a.dtype == np.uint8:          # wire_u8_out mode: decode /255
+            a = a.astype(np.float32) / 255.0
+            t = t.astype(np.float32) / 255.0
+        alphas.append(_unpad(a.astype(np.float32, copy=False), pad))
+        trimaps.append(_unpad(t.astype(np.float32, copy=False), pad))
 
     def _run_chunked(self, bank, frames01, first_tri_dev, flags, max_num,
                      pad, f0, alphas, trimaps):
@@ -258,7 +288,7 @@ class StreamingEvaluator:
                                      jnp.asarray(t[None]),
                                      stage=self.protocol.stage,
                                      arch=self.protocol.arch)
-            alphas.append(_unpad(np.asarray(alpha[0, :, :, 0]), pad))
+            alphas.append(_unpad(np.asarray(alpha)[0, :, :, 0], pad))
             trimaps.append(tris[i])
         fps = n / (time.perf_counter() - t_start)
         if out_dir is not None:
@@ -341,13 +371,16 @@ class MultiStreamEvaluator(StreamingEvaluator):
                     (_T if last else _F),
                     stage=self.protocol.stage, max_memory_num=s["max_num"],
                     arch=self.protocol.arch, scale=self.protocol.scale,
-                    stm_norm=self.stm_norm)
+                    stm_norm=self.stm_norm,
+                    wire_u8_out=self.protocol.wire_u8_out)
                 s["bank"] = out.bank
                 # collect the PREVIOUS dispatch's outputs while this one
-                # computes (same software pipelining as run_video)
+                # computes (same software pipelining as run_video); the
+                # async prefetch means the copy lands during the other
+                # streams' dispatches, a full round before it is read
                 if s["pending"] is not None:
                     self._collect(s["pending"], s["alphas"], s["trimaps"])
-                s["pending"] = (out, s["pad"])
+                s["pending"] = (self._prefetch(out), s["pad"])
             step += 1
         for s in sessions:
             if s["pending"] is not None:
@@ -407,7 +440,7 @@ class TrimapEvaluator:
                 self.stm_vars, bank, jnp.asarray(f[None]), first_tri_dev,
                 (_T if first else _F), (_T if memorize else _F),
                 max_memory_num=max_num, stm_norm=self.stm_norm)
-            trimaps.append(_unpad(np.asarray(pred[0]), pad))
+            trimaps.append(_unpad(np.asarray(pred)[0], pad))
         fps = n / (time.perf_counter() - t_start)
         if out_dir is not None:
             import cv2

@@ -81,7 +81,8 @@ def _eval_frame_core(stm_vars, fba_vars, bank: MemoryBank,
                      last_frame: jnp.ndarray,
                      stage: int, max_memory_num: int,
                      exact_edt: bool, arch: str, scale: int = 1,
-                     stm_norm: str = "frozen_bn") -> EvalOutput:
+                     stm_norm: str = "frozen_bn",
+                     wire_u8_out: bool = False) -> EvalOutput:
     """One frame of streaming joint inference (traced body shared by the
     per-frame jit and the chunked lax.scan).
 
@@ -132,12 +133,22 @@ def _eval_frame_core(stm_vars, fba_vars, bank: MemoryBank,
         return update_bank(b, k, v, first_frame, memorize, max_memory_num)
 
     bank = jax.lax.cond(last_frame, lambda b: b, do_memorize, bank)
+    if wire_u8_out:
+        # serving wire mode: quantize outputs to uint8 ON DEVICE so the
+        # per-frame device->host fetch shrinks 4-8x (alpha f32 1 MB ->
+        # 0.25 MB, trimap-probs f32 3 MB -> 0.75 MB at 512p).  This is
+        # protocol-faithful, not an approximation: the reference writes
+        # alpha as uint8 PNGs before any metric reads it (eval.py:136-144),
+        # so /255-decoded wire outputs are bit-identical to its pipeline.
+        to_u8 = lambda t: jnp.round(
+            jnp.clip(t.astype(jnp.float32), 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        return EvalOutput(bank, to_u8(alpha), to_u8(out_trimap))
     return EvalOutput(bank, alpha, out_trimap)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("stage", "max_memory_num", "exact_edt",
-                                    "arch", "scale", "stm_norm"),
+                                    "arch", "scale", "stm_norm", "wire_u8_out"),
                    donate_argnums=(2,))
 def eval_frame_step(stm_vars, fba_vars, bank: MemoryBank,
                     frame01: jnp.ndarray, first_trimap3: jnp.ndarray,
@@ -146,13 +157,14 @@ def eval_frame_step(stm_vars, fba_vars, bank: MemoryBank,
                     stage: int = 4, max_memory_num: int = 5,
                     exact_edt: bool = False,
                     arch: str = "resnet50_GN_WS", scale: int = 1,
-                    stm_norm: str = "frozen_bn") -> EvalOutput:
+                    stm_norm: str = "frozen_bn",
+                    wire_u8_out: bool = False) -> EvalOutput:
     """Single-frame dispatch (lowest latency; one device round trip per
     frame).  See _eval_frame_core for semantics."""
     return _eval_frame_core(stm_vars, fba_vars, bank, frame01, first_trimap3,
                             first_frame, memorize, last_frame,
                             stage, max_memory_num, exact_edt, arch, scale,
-                            stm_norm)
+                            stm_norm, wire_u8_out)
 
 
 @functools.partial(jax.jit,

@@ -42,7 +42,9 @@ def main():
     stm_vars = {"params": state.params["stm"], "batch_stats": state.batch_stats}
     fba_vars = {"params": state.params["fba"]}
 
-    proto = EvalProtocol(dtype=DTYPE)
+    # wire_u8_out: serving-mode uint8 outputs — on the tunneled chip the
+    # f32 alpha+trimap fetch (4 MB/frame) was the whole bottleneck
+    proto = EvalProtocol(dtype=DTYPE, wire_u8_out=True)
     ev = MultiStreamEvaluator(stm_vars, fba_vars, proto)
 
     rng = np.random.RandomState(0)

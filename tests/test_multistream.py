@@ -89,6 +89,51 @@ def test_bf16_wire_serving(joint_vars):
         assert a.dtype == np.float32  # outputs are returned fp32
 
 
+def test_wire_u8_out_is_png_quantization(joint_vars):
+    """wire_u8_out quantizes outputs to uint8 ON DEVICE before the fetch
+    (8/4x fewer D2H bytes on a tunneled chip).  It must equal quantizing
+    the f32 outputs host-side — i.e. exactly what the reference pipeline
+    measures after its uint8 PNG round trip (eval.py:136-144) — and the
+    memory-bank contents (hence the stream's trajectory) must be
+    IDENTICAL: quantization happens after the bank update, outputs only.
+
+    Tolerance note: wire_u8_out adds quantize ops to the jitted graph, so
+    XLA may fuse the upstream f32 math differently (different-but-valid
+    float results a few ULP apart).  An f32 value sitting exactly on a
+    x.5/255 rounding boundary can then flip by one quantization step
+    between the two compilations.  We therefore require every element to
+    agree within 1/255 (one u8 LSB) and >=99.9% of elements to match
+    EXACTLY — a real quantization bug (wrong scale, truncation instead of
+    round, missing clip) breaks both bounds immediately."""
+    stm_vars, fba_vars = joint_vars
+    v = _mk_video(3, 4)
+    base = EvalProtocol(memory_max_num=2, memory_skip_frame=3, scale=SCALE)
+    a_f32, t_f32, _ = StreamingEvaluator(stm_vars, fba_vars, base).run_video(
+        v["frames"], v["first_trimap"])
+    wire = EvalProtocol(memory_max_num=2, memory_skip_frame=3, scale=SCALE,
+                        wire_u8_out=True)
+    a_u8, t_u8, _ = StreamingEvaluator(stm_vars, fba_vars, wire).run_video(
+        v["frames"], v["first_trimap"])
+
+    def _check(got, want_f32, what, i):
+        want = np.round(np.clip(want_f32, 0, 1) * 255) / 255.0
+        diff = np.abs(got.astype(np.float64) - want.astype(np.float64))
+        # +1e-6: `got` decodes u8/255 in f32, `want` quantizes in f64 —
+        # adjacent levels differ by 1/255 plus a few f32 ULP
+        assert diff.max() <= 1.0 / 255.0 + 1e-6, \
+            f"frame {i} {what}: max diff {diff.max()} > one u8 LSB"
+        exact = float((diff == 0).mean())
+        # 99%: the tiny random-weight test net puts ~0.2% of softmax probs
+        # on rounding ties; a truncation/scale bug flips ~50% of elements
+        assert exact >= 0.99, \
+            f"frame {i} {what}: only {exact:.4%} elements exactly equal"
+
+    for i in range(4):
+        assert a_u8[i].dtype == np.float32  # decoded /255 host-side
+        _check(a_u8[i], a_f32[i], "alpha", i)
+        _check(t_u8[i], t_f32[i], "trimap", i)
+
+
 def test_multistream_protocol_flags():
     """The per-stream flag schedule is exactly the single-stream protocol
     (memorize cadence + large-input handling are per-stream properties)."""
