@@ -36,6 +36,12 @@ DTYPE = os.environ.get("BENCH_DTYPE", "bf16")
 # streaming loop pays H2D every frame).  Default 0 keeps the headline
 # device-resident kernel-throughput protocol.
 WIRE = os.environ.get("BENCH_WIRE", "0") == "1"
+# BENCH_WIRE_OUT=1: the FULL serving round trip — uint8 upload per frame
+# AND a per-frame alpha+trimap fetch (uint8, wire_u8_out=True, pipelined
+# one frame deep exactly like eval/runner.py).  This is what a caller of
+# `eval.py --wire-u8` observes per frame.  Implies BENCH_WIRE.
+WIRE_OUT = os.environ.get("BENCH_WIRE_OUT", "0") == "1"
+WIRE = WIRE or WIRE_OUT
 
 
 def main():
@@ -76,7 +82,8 @@ def main():
 
     def step(bank, frame, first, mem, last):
         return eval_frame_step(stm_vars, fba_vars, bank, frame, first_tri,
-                               first, mem, last, stage=4, max_memory_num=MAX_MEM)
+                               first, mem, last, stage=4, max_memory_num=MAX_MEM,
+                               wire_u8_out=WIRE_OUT)
 
     # boolean flags staged ONCE: each jnp.asarray(bool) is a device_put, and
     # on a tunneled chip that is one RPC of latency per flag per frame
@@ -117,19 +124,34 @@ def main():
         dt = time.perf_counter() - t0
         fps = n_chunks * CHUNK * B / dt
     else:
+        pending = None
         t0 = time.perf_counter()
         for i in range(N_FRAMES):
             f = (jnp.asarray(frames_u8[i % 4]) if WIRE
                  else frames[i % len(frames)])
             out = step(bank, f, F, (T if i % SKIP == 0 else F), F)
             bank = out.bank
+            if WIRE_OUT:
+                # same 1-frame-deep software pipeline as the runner: start
+                # this dispatch's D2H now, read the previous one's results
+                for a in (out.alpha, out.trimap):
+                    fn = getattr(a, "copy_to_host_async", None)
+                    if fn is not None:
+                        fn()
+                if pending is not None:
+                    np.asarray(pending.alpha), np.asarray(pending.trimap)
+                pending = out
+        if pending is not None:
+            np.asarray(pending.alpha), np.asarray(pending.trimap)
         jax.block_until_ready(out.alpha)
         dt = time.perf_counter() - t0
         fps = N_FRAMES * B / dt
 
     metric = ("fps_512p_joint_s4" if (H, W) == (512, 512) and B == 1 and CHUNK == 1
               else f"fps_{H}x{W}_b{B}_c{CHUNK}_joint_s4")
-    if WIRE:
+    if WIRE_OUT:
+        metric += "_wireio"   # u8 upload + u8 per-frame output fetch
+    elif WIRE:
         metric += "_wire"
     print(json.dumps({
         "metric": metric,

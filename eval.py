@@ -40,6 +40,17 @@ def parse_args():
                    choices=["resnet50_GN_WS", "resnet50_BN"],
                    help="FBA trunk the checkpoint was trained with "
                         "(Config.alpha.arch); must match for param restore")
+    p.add_argument("--streams", type=int, default=1,
+                   help="serve N videos concurrently on one chip "
+                        "(round-robin B=1 dispatches, one memory bank per "
+                        "stream; joint stages 3/4 only).  Per-video outputs "
+                        "are identical to --streams 1; aggregate throughput "
+                        "is higher (docs/BENCH_NOTES.md)")
+    p.add_argument("--wire-u8", action="store_true",
+                   help="serving wire mode: quantize alpha/trimap to uint8 "
+                        "on device before the per-frame fetch (4-8x fewer "
+                        "device->host bytes; equals the reference's uint8 "
+                        "PNG output quantization, eval.py:136-144)")
     return p.parse_args()
 
 
@@ -92,9 +103,10 @@ def main():
     enable_compilation_cache()
 
     from otvm_tpu.config import MODEL_NAMES, get_cfg_defaults
-    from otvm_tpu.eval.runner import (EvalProtocol, StreamingEvaluator,
-                                      TrimapEvaluator, evaluate_vm108,
-                                      evaluate_vm108_trimap, iter_demo_videos)
+    from otvm_tpu.eval.runner import (EvalProtocol, MultiStreamEvaluator,
+                                      StreamingEvaluator, TrimapEvaluator,
+                                      evaluate_vm108, evaluate_vm108_trimap,
+                                      iter_demo_videos)
 
     args = parse_args()
     cfg = get_cfg_defaults()
@@ -111,7 +123,10 @@ def main():
     protocol = EvalProtocol(memory_max_num=cfg.test.memory_max_num,
                             memory_skip_frame=cfg.test.memory_skip_frame,
                             trimap_width=args.trimap, stage=args.stage,
-                            arch=args.arch)
+                            arch=args.arch, wire_u8_out=args.wire_u8)
+    if args.streams > 1 and (args.trimap_net or args.stage <= 2):
+        raise SystemExit("--streams > 1 is the joint serving path "
+                         "(stages 3/4, not --trimap-net)")
     if args.trimap_net:
         tev = TrimapEvaluator(trimap_vars, protocol)
         if args.demo:
@@ -128,7 +143,9 @@ def main():
                 max_videos=(2 if args.testmode else args.max_videos))
             print(json.dumps(results, indent=2))
         return
-    ev = StreamingEvaluator(trimap_vars, alpha_vars, protocol)
+    ev = (MultiStreamEvaluator(trimap_vars, alpha_vars, protocol)
+          if args.streams > 1 else
+          StreamingEvaluator(trimap_vars, alpha_vars, protocol))
 
     max_edge = args.max_edge or (256 if args.testmode else None)
 
@@ -148,21 +165,39 @@ def main():
         return frames, np.eye(3, dtype=np.float32)[lbl]
 
     if args.demo:
-        for vid in iter_demo_videos(data_root):
-            frames = vid["frames"]
-            if args.testmode:
-                frames = frames[:4]
-            frames, vid["first_trimap"] = downscale(frames, vid["first_trimap"])
-            alphas, trimaps, fps = ev.run_video(
-                frames, vid["first_trimap"],
-                out_dir=os.path.join(outdir, "pred", vid["seq_name"]),
-                filenames=vid["filenames"],
-                viz_dir=(os.path.join(outdir, "viz", vid["seq_name"])
-                         if args.viz else None))
-            print(f"{vid['seq_name']}: {len(alphas)} frames @ {fps:.2f} fps")
+        if args.streams > 1:
+            vids = []
+            for vid in iter_demo_videos(data_root):
+                frames = vid["frames"][:4] if args.testmode else vid["frames"]
+                vid["frames"], vid["first_trimap"] = downscale(
+                    frames, vid["first_trimap"])
+                vids.append(vid)
+            for i in range(0, len(vids), args.streams):
+                group = vids[i:i + args.streams]
+                results, agg_fps = ev.run_videos(
+                    group, out_root=os.path.join(outdir, "pred"),
+                    viz_root=(os.path.join(outdir, "viz")
+                              if args.viz else None))
+                names = ", ".join(v["seq_name"] for v in group)
+                n = sum(len(a) for a, _ in results)
+                print(f"[{names}]: {n} frames @ {agg_fps:.2f} fps aggregate")
+        else:
+            for vid in iter_demo_videos(data_root):
+                frames = vid["frames"]
+                if args.testmode:
+                    frames = frames[:4]
+                frames, vid["first_trimap"] = downscale(frames, vid["first_trimap"])
+                alphas, trimaps, fps = ev.run_video(
+                    frames, vid["first_trimap"],
+                    out_dir=os.path.join(outdir, "pred", vid["seq_name"]),
+                    filenames=vid["filenames"],
+                    viz_dir=(os.path.join(outdir, "viz", vid["seq_name"])
+                             if args.viz else None))
+                print(f"{vid['seq_name']}: {len(alphas)} frames @ {fps:.2f} fps")
     else:
         results = evaluate_vm108(ev, data_root, out_dir=os.path.join(outdir, "pred"),
-                                 max_videos=(2 if args.testmode else args.max_videos))
+                                 max_videos=(2 if args.testmode else args.max_videos),
+                                 streams=args.streams)
         print(json.dumps(results, indent=2))
 
 

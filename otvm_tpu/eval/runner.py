@@ -559,37 +559,75 @@ def iter_vm108_videos(data_root: str, mode: str = "val",
                    gt_alpha=gt_alphas, dilate_radius=dilate_radius)
 
 
-def evaluate_vm108(evaluator: StreamingEvaluator, data_root: str,
-                   out_dir: Optional[str] = None, mode: str = "val",
-                   max_videos: Optional[int] = None) -> Dict[str, float]:
-    """Full VM108 protocol: run every clip, score SAD/MSE/... against GT
-    alpha with the trimask from the per-frame GT trimap (metric masks are
-    the unknown regions, utils/tmp/metric.py:114-119)."""
+def _score_vm108_video(vid: Dict, alphas, radius: int,
+                       totals: Dict[str, float]) -> None:
+    """Accumulate the 7 VM108 metrics for one clip into `totals` (the
+    unknown-region trimask protocol, utils/tmp/metric.py:114-119)."""
     from .metrics import video_metrics
 
+    pred = np.stack(alphas) * 255.0
+    gt = np.stack(vid["gt_alpha"]) * 255.0
+    mask = np.stack([trimap_from_alpha(a, radius)[..., 1]
+                     for a in vid["gt_alpha"]]) * 128.0
+    m = video_metrics(pred, gt, mask)
+    for k, v in m.items():
+        totals[k] = totals.get(k, 0.0) + v
+
+
+def evaluate_vm108(evaluator: StreamingEvaluator, data_root: str,
+                   out_dir: Optional[str] = None, mode: str = "val",
+                   max_videos: Optional[int] = None,
+                   streams: int = 1) -> Dict[str, float]:
+    """Full VM108 protocol: run every clip, score SAD/MSE/... against GT
+    alpha with the trimask from the per-frame GT trimap (metric masks are
+    the unknown regions, utils/tmp/metric.py:114-119).
+
+    streams > 1 serves clips in groups of `streams` through a
+    MultiStreamEvaluator (round-robin B=1, per-stream banks) — identical
+    per-clip outputs (pinned by tests/test_multistream.py), higher
+    aggregate throughput on one chip; `fps` is then the mean AGGREGATE
+    fps over groups (all frames in a group / its wall-clock)."""
     radius = TRIMAP_WIDTH_KERNELS[evaluator.protocol.trimap_width]
     totals: Dict[str, float] = {}
     count = 0
     fps_all = []
-    for vid in iter_vm108_videos(data_root, mode, radius):
-        gt_tris = None
-        if evaluator.protocol.stage <= 2:   # trimap-given protocol
-            gt_tris = [trimap_from_alpha(a, radius) for a in vid["gt_alpha"]]
-        alphas, _, fps = evaluator.run_video(
-            vid["frames"], vid["first_trimap"],
-            out_dir=os.path.join(out_dir, vid["seq_name"]) if out_dir else None,
-            filenames=vid["filenames"], gt_trimaps=gt_tris)
-        fps_all.append(fps)
-        pred = np.stack(alphas) * 255.0
-        gt = np.stack(vid["gt_alpha"]) * 255.0
-        mask = np.stack([trimap_from_alpha(a, radius)[..., 1]
-                         for a in vid["gt_alpha"]]) * 128.0
-        m = video_metrics(pred, gt, mask)
-        for k, v in m.items():
-            totals[k] = totals.get(k, 0.0) + v
-        count += 1
-        if max_videos and count >= max_videos:
-            break
+    if streams > 1:
+        assert isinstance(evaluator, MultiStreamEvaluator), \
+            "streams > 1 needs a MultiStreamEvaluator"
+        group: list = []
+
+        def _flush():
+            results, agg_fps = evaluator.run_videos(group, out_root=out_dir)
+            fps_all.append(agg_fps)
+            for vid, (alphas, _) in zip(group, results):
+                _score_vm108_video(vid, alphas, radius, totals)
+            group.clear()
+
+        for vid in iter_vm108_videos(data_root, mode, radius):
+            group.append(vid)
+            count += 1
+            if len(group) == streams:
+                _flush()
+            if max_videos and count >= max_videos:
+                break
+        if group:
+            _flush()
+    else:
+        for vid in iter_vm108_videos(data_root, mode, radius):
+            gt_tris = None
+            if evaluator.protocol.stage <= 2:   # trimap-given protocol
+                gt_tris = [trimap_from_alpha(a, radius)
+                           for a in vid["gt_alpha"]]
+            alphas, _, fps = evaluator.run_video(
+                vid["frames"], vid["first_trimap"],
+                out_dir=(os.path.join(out_dir, vid["seq_name"])
+                         if out_dir else None),
+                filenames=vid["filenames"], gt_trimaps=gt_tris)
+            fps_all.append(fps)
+            _score_vm108_video(vid, alphas, radius, totals)
+            count += 1
+            if max_videos and count >= max_videos:
+                break
     out = {k: v / max(count, 1) for k, v in totals.items()}
     out["fps"] = float(np.mean(fps_all)) if fps_all else 0.0
     out["videos"] = count

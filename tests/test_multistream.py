@@ -134,6 +134,41 @@ def test_wire_u8_out_is_png_quantization(joint_vars):
         _check(t_u8[i], t_f32[i], "trimap", i)
 
 
+def test_evaluate_vm108_multistream_matches_single(joint_vars, monkeypatch):
+    """The dataset-eval entry (`evaluate_vm108(..., streams=N)`, reachable
+    via `eval.py --streams N`) must score EXACTLY what the serial per-clip
+    protocol scores — grouping clips into concurrent streams changes
+    throughput bookkeeping only, never a metric."""
+    from otvm_tpu.eval import runner as R
+    stm_vars, fba_vars = joint_vars
+
+    vids = []
+    for seed, n in ((1, 4), (2, 3), (3, 2)):   # 3 clips, 2 streams: one
+        v = _mk_video(seed, n)                 # full group + a remainder
+        rng = np.random.RandomState(100 + seed)
+        v["gt_alpha"] = [rng.rand(H, W).astype(np.float32) for _ in range(n)]
+        v["filenames"] = [f"{i:05d}.png" for i in range(n)]
+        vids.append(v)
+
+    def fake_iter(data_root, mode="val", dilate_radius=12):
+        for v in vids:
+            yield dict(v)
+
+    monkeypatch.setattr(R, "iter_vm108_videos", fake_iter)
+    proto = EvalProtocol(memory_max_num=2, memory_skip_frame=3, scale=SCALE)
+    single = R.evaluate_vm108(
+        StreamingEvaluator(stm_vars, fba_vars, proto), "unused")
+    multi = R.evaluate_vm108(
+        MultiStreamEvaluator(stm_vars, fba_vars, proto), "unused", streams=2)
+
+    assert single["videos"] == multi["videos"] == 3
+    for k in single:
+        if k in ("fps", "videos"):
+            continue
+        assert multi[k] == single[k], \
+            f"{k}: multistream {multi[k]} != single {single[k]}"
+
+
 def test_multistream_protocol_flags():
     """The per-stream flag schedule is exactly the single-stream protocol
     (memorize cadence + large-input handling are per-stream properties)."""
