@@ -231,9 +231,9 @@ class StreamingEvaluator:
         # device-side out.alpha[0,:,:,0] would be one more dispatch+fetch
         a = np.asarray(out.alpha)[0, :, :, 0]
         t = np.asarray(out.trimap)[0]
-        if a.dtype == np.uint8:          # wire_u8_out mode: decode /255
-            a = a.astype(np.float32) / 255.0
-            t = t.astype(np.float32) / 255.0
+        if a.dtype == np.uint8:          # wire_u8_out mode: alpha /255,
+            a = a.astype(np.float32) / 255.0   # trimap label -> one-hot
+            t = np.eye(3, dtype=np.float32)[t]
         alphas.append(_unpad(a.astype(np.float32, copy=False), pad))
         trimaps.append(_unpad(t.astype(np.float32, copy=False), pad))
 

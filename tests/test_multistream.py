@@ -90,12 +90,16 @@ def test_bf16_wire_serving(joint_vars):
 
 
 def test_wire_u8_out_is_png_quantization(joint_vars):
-    """wire_u8_out quantizes outputs to uint8 ON DEVICE before the fetch
-    (8/4x fewer D2H bytes on a tunneled chip).  It must equal quantizing
-    the f32 outputs host-side — i.e. exactly what the reference pipeline
-    measures after its uint8 PNG round trip (eval.py:136-144) — and the
-    memory-bank contents (hence the stream's trajectory) must be
-    IDENTICAL: quantization happens after the bank update, outputs only.
+    """wire_u8_out shrinks the per-frame D2H fetch to serving's actual
+    payload: alpha as uint8 (8x fewer bytes) and trimap as a uint8 argmax
+    LABEL decoded to one-hot host-side (12x fewer bytes).  Alpha must
+    equal quantizing the f32 outputs host-side — i.e. exactly what the
+    reference pipeline measures after its uint8 PNG round trip
+    (eval.py:136-144); trimap must equal one_hot(argmax(f32 probs)) — the
+    reference never persists predicted probabilities (eval.py:136-144
+    writes only alpha).  The memory-bank contents (hence the stream's
+    trajectory) must be IDENTICAL: wire encoding happens after the bank
+    update, outputs only.
 
     Tolerance note: wire_u8_out adds quantize ops to the jitted graph, so
     XLA may fuse the upstream f32 math differently (different-but-valid
@@ -131,7 +135,16 @@ def test_wire_u8_out_is_png_quantization(joint_vars):
     for i in range(4):
         assert a_u8[i].dtype == np.float32  # decoded /255 host-side
         _check(a_u8[i], a_f32[i], "alpha", i)
-        _check(t_u8[i], t_f32[i], "trimap", i)
+        # trimap: one-hot of the f32 argmax.  ULP-level prob differences
+        # between the two compilations can flip argmax only on near-ties,
+        # so require >=99% pixel agreement (a wrong-axis/off-by-one label
+        # bug disagrees on ~2/3 of pixels immediately).
+        t = t_u8[i]
+        assert t.shape == t_f32[i].shape and t.dtype == np.float32
+        assert set(np.unique(t)) <= {0.0, 1.0}, "wire trimap must be one-hot"
+        agree = float((t.argmax(-1) == t_f32[i].argmax(-1)).mean())
+        assert agree >= 0.99, \
+            f"frame {i} trimap: only {agree:.4%} labels agree with f32 argmax"
 
 
 def test_evaluate_vm108_multistream_matches_single(joint_vars, monkeypatch):
